@@ -1,0 +1,113 @@
+"""φ⁴ lattice field theory target (1-D / 2-D grids).
+
+Re-design of sde_sampler/distr/phi_four.py:8-131: energy
+U(φ) = a·d·Σ(∇φ)²/2 + Σ[(1-φ²)²/4 + b·φ]/(a·d), Gibbs density e^{-β U}.
+The inter-well weight oracle uses a Laplace approximation at the two energy
+minima (phi_four.py:105-122).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .base import Target
+
+
+class PhiFour(Target):
+    def __init__(self, a: float, b: float, dim: int, dim_phys: int = 1,
+                 beta: float = 1.0, bc=("dirichlet", 0.0), tilt=None,
+                 grid_points: int = 1024, **kwargs):
+        self.a = a
+        self.b = b
+        self.beta = beta
+        self.dim_grid = dim
+        self.dim_phys = dim_phys
+        self.sum_dims = tuple(i + 1 for i in range(dim_phys))
+        self.bc = bc
+        self.tilt = tilt
+        self.coef = a * dim
+        super().__init__(dim=dim, grid_points=grid_points, **kwargs)
+        self.set_domain(jnp.stack([-1.5 * jnp.ones(dim), 1.5 * jnp.ones(dim)], axis=1))
+
+    def _reshape(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.dim_phys == 2:
+            return x.reshape(-1, self.dim_grid, self.dim_grid)
+        return x.reshape(-1, self.dim_grid)
+
+    def V(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = self._reshape(x)
+        v = ((1 - x**2) ** 2 / 4 + self.b * x).sum(self.sum_dims) / self.coef
+        if self.tilt is not None:
+            tilt = (self.tilt["val"] - x.mean(self.sum_dims)) ** 2
+            v = v + self.tilt["lambda"] * tilt / (4 * self.dim_grid)
+        return v
+
+    def U(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.dim_phys < 3
+        x = self._reshape(x)
+        if self.bc[0] == "dirichlet":
+            pad = [(0, 0)] + [(1, 1)] * self.dim_phys
+            x_ = jnp.pad(x, pad, constant_values=self.bc[1])
+        elif self.bc[0] == "pbc":
+            pad = [(0, 0)] + [(1, 0)] * self.dim_phys
+            x_ = jnp.pad(x, pad, mode="wrap")
+        else:
+            raise NotImplementedError("Only dirichlet and periodic BC implemented.")
+        if self.dim_phys == 2:
+            grad_x = (x_[:, 1:, :-1] - x_[:, :-1, :-1]) ** 2 / 2
+            grad_y = (x_[:, :-1, 1:] - x_[:, :-1, :-1]) ** 2 / 2
+            grad_term = (grad_x + grad_y).sum(self.sum_dims)
+        else:
+            grad_term = ((x_[:, 1:] - x_[:, :-1]) ** 2 / 2).sum(self.sum_dims)
+        return grad_term * self.coef + self.V(x)
+
+    def grad_U(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.bc == ("dirichlet", 0) or self.bc == ("dirichlet", 0.0)
+        assert self.dim_phys != 2 and self.tilt is None
+        x = self._reshape(x)
+        ret = (self.b - x * (1.0 - x**2)) / self.coef
+        lap = 2.0 * x - jnp.pad(x[:, 1:], ((0, 0), (0, 1))) - jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+        return ret + self.coef * lap
+
+    def unnorm_log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
+        lp = -self.beta * self.U(jnp.atleast_2d(x))
+        return lp.reshape(x.shape[:-1])
+
+    def score(self, x: jnp.ndarray) -> jnp.ndarray:
+        return -self.beta * self.grad_U(x)
+
+    # -- Laplace-approximation oracle (phi_four.py:98-122) -----------------
+    def hessian(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        h = jnp.eye(d) * (3 * self.coef + (3 * x**2 - 1) / self.coef)
+        off = jnp.eye(d, k=1) + jnp.eye(d, k=-1)
+        return h - self.coef * off
+
+    def log_laplace(self, x: jnp.ndarray):
+        log_l = -self.beta * self.U(x[None])[0]
+        corr = (self.dim_grid / 2) * math.log(2 * math.pi / self.beta)
+        _, logdet = jnp.linalg.slogdet(self.hessian(x))
+        corr = corr - 0.5 * logdet
+        return log_l, log_l + corr
+
+    def compute_stats_integration(self):
+        # Gradient-descent flow to the two wells, then Laplace weights.
+        x = jnp.stack([jnp.ones(self.dim), -jnp.ones(self.dim)])
+        step = jax.jit(lambda y: y - 5e-3 * self.grad_U(y))
+        for _ in range(10000):
+            x = step(x)
+        self.x_min = x
+        _, lap_pos = self.log_laplace(x[0])
+        _, lap_neg = self.log_laplace(x[1])
+        # uncorrected weight uses raw energies
+        en_pos = -self.beta * self.U(x[0][None])[0]
+        en_neg = -self.beta * self.U(x[1][None])[0]
+        self.expectations["true_weight"] = float(jnp.exp(en_neg - en_pos))
+        self.expectations["true_weight_cor"] = float(jnp.exp(lap_neg - lap_pos))
+
+    def compute_phi_four_weight(self, samples: jnp.ndarray) -> jnp.ndarray:
+        mask = samples[:, self.dim // 2] > 0
+        frac = mask.mean()
+        return (1.0 - frac) / frac

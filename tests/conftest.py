@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding code paths are exercised on CPU with
+``--xla_force_host_platform_device_count=8`` (SURVEY.md §4); all numerics run
+in float32 exactly as on TPU.
+
+NOTE: the environment pre-registers the axon TPU-tunnel PJRT plugin via
+sitecustomize and pins JAX_PLATFORMS=axon; setting the env var is not enough
+(the plugin registration overrides it), so we update jax.config after import.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)

@@ -1,0 +1,152 @@
+"""Target-layer oracle tests.
+
+Two oracle patterns from the reference test strategy (SURVEY.md §4):
+  1. analytic score vs autodiff of unnorm_log_prob (self-consistency);
+  2. ground-truth samples pushed through moments match analytic expectations.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sde_sampler_lrds_tpu.targets import (
+    GMM,
+    BracketTwoModes,
+    Checkerboard,
+    Delta,
+    Gauss,
+    GaussFull,
+    GMMFull,
+    IsotropicGauss,
+    LogisticRegression,
+    ManyModes,
+    PhiFour,
+    Rings,
+    TwoModes,
+    TwoModesFull,
+)
+from sde_sampler_lrds_tpu.targets.base import sample_uniform
+
+
+def autodiff_score(target, x):
+    return jax.grad(lambda y: target.unnorm_log_prob(y).sum())(x)
+
+
+DISTRS = [
+    ("gauss", lambda: Gauss(dim=3, loc=1.0, scale=2.0)),
+    ("gauss_full", lambda: GaussFull(
+        dim=2, loc=jnp.array([0.5, -0.5]),
+        cov=jnp.array([[1.0, 0.3], [0.3, 0.5]]))),
+    ("iso", lambda: IsotropicGauss(dim=4, loc=0.5, scale=1.5)),
+    ("gmm", lambda: GMM(name="dist", dim=2)),
+    ("two_modes", lambda: TwoModes(dim=5, ill_conditioned="medium")),
+    ("two_modes_full", lambda: TwoModesFull(dim=4)),
+    ("bracket", lambda: BracketTwoModes(dim=3)),
+    ("many_modes", lambda: ManyModes(n_modes=4, dim=3)),
+    ("rings", lambda: Rings()),
+    ("phi_four", lambda: PhiFour(a=0.1, b=0.0, dim=16)),
+    ("logreg", lambda: LogisticRegression(data_type="ionosphere")),
+]
+
+
+@pytest.mark.parametrize("name,make", DISTRS, ids=[d[0] for d in DISTRS])
+def test_score_matches_autodiff(name, make):
+    distr = make()
+    key = jax.random.PRNGKey(0)
+    x = sample_uniform(key, distr.domain, 64)
+    if name == "rings":  # avoid the origin where score is singular
+        x = x + jnp.where(jnp.abs(x) < 0.3, 0.5, 0.0)
+    if name == "logreg":  # stay where the likelihood is not clipped/saturated
+        x = 0.1 * jax.random.normal(key, (64, distr.dim))
+    analytic = distr.score(x)
+    auto = autodiff_score(distr, x)
+    np.testing.assert_allclose(np.asarray(analytic), np.asarray(auto), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("name,make", DISTRS[:8], ids=[d[0] for d in DISTRS[:8]])
+def test_log_prob_shapes(name, make):
+    distr = make()
+    x = sample_uniform(jax.random.PRNGKey(1), distr.domain, 7)
+    assert distr.unnorm_log_prob(x).shape == (7,)
+    assert distr.score(x).shape == x.shape
+
+
+def test_gauss_log_prob_value():
+    g = Gauss(dim=2, loc=0.0, scale=1.0)
+    x = jnp.zeros((1, 2))
+    expected = -jnp.log(2 * jnp.pi)
+    np.testing.assert_allclose(float(g.log_prob(x)[0]), float(expected), rtol=1e-6)
+
+
+def test_gmm_sampling_moments():
+    tm = TwoModes(dim=2)
+    samples = tm.sample(jax.random.PRNGKey(0), (100_000,))
+    # mean = (2/3)(-a) + (1/3)(a) = -a/3 with a=1
+    np.testing.assert_allclose(np.asarray(samples.mean(0)), [-1 / 3, -1 / 3], atol=0.02)
+    # mode weight ~ 2/3
+    mw = tm.compute_mode_weight(samples)
+    assert abs(float(mw) - 100 * 2 / 3) < 1.0
+
+
+def test_gmm_full_matches_diag():
+    """A GMMFull with diagonal covariances must agree with the diagonal GMM."""
+    loc = jnp.array([[-1.0, 0.5], [1.0, -0.5]])
+    scale = jnp.array([[0.5, 0.8], [0.3, 0.6]])
+    w = jnp.array([2.0, 1.0])
+    diag = GMM(dim=2, loc=loc, scale=scale, mixture_weights=w)
+    cov = jax.vmap(jnp.diag)(scale**2)
+    full = GMMFull(dim=2, loc=loc, cov=cov, mixture_weights=w)
+    x = jax.random.normal(jax.random.PRNGKey(2), (32, 2)) * 2
+    np.testing.assert_allclose(
+        np.asarray(diag.unnorm_log_prob(x)), np.asarray(full.unnorm_log_prob(x)), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(diag.score(x)), np.asarray(full.score(x)), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_delta_sample():
+    d = Delta(dim=3, loc=2.0)
+    s = d.sample(jax.random.PRNGKey(0), (5,))
+    assert s.shape == (5, 3)
+    np.testing.assert_allclose(np.asarray(s), 2.0)
+
+
+def test_checkerboard():
+    cb = Checkerboard()
+    s = cb.sample(jax.random.PRNGKey(0), (10_000,))
+    lp = cb.unnorm_log_prob(s)
+    assert bool(jnp.all(jnp.isfinite(lp)))
+    # samples outside the board have huge negative log-prob
+    out = cb.unnorm_log_prob(jnp.array([[-3.0, 3.0]]))
+    assert float(out[0]) < -100
+    assert cb.score(s).shape == s.shape
+
+
+def test_rings_sampling_and_density():
+    rings = Rings()
+    s = rings.sample(jax.random.PRNGKey(0), (50_000,))
+    r = jnp.linalg.norm(s, axis=-1)
+    # radii concentrate near 1, 3, 5
+    assert float(jnp.abs(jnp.stack([jnp.abs(r - c).min() for c in [1.0, 3.0, 5.0]]).max())) < 0.5
+    counts = rings.compute_mode_count(s)
+    probs = np.asarray(counts / counts.sum())
+    np.testing.assert_allclose(probs, np.asarray(rings._probs), atol=0.02)
+
+
+def test_phi_four_grad():
+    pf = PhiFour(a=0.1, b=0.0, dim=8)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+    np.testing.assert_allclose(
+        np.asarray(pf.grad_U(x)),
+        np.asarray(jax.grad(lambda y: pf.U(y).sum())(x)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_compute_stats_gauss():
+    g = Gauss(dim=2, loc=0.0, scale=1.0, n_reference_samples=100_000)
+    g.compute_stats(jax.random.PRNGKey(0))
+    # E[sum x_i^2] = dim
+    assert abs(g.expectations["square"] - 2.0) < 0.05
+    assert abs(g.expectations["sum"]) < 0.05
