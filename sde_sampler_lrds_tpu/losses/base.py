@@ -1,0 +1,134 @@
+"""Shared machinery for the variational trajectory losses.
+
+Re-design of sde_sampler/losses/oc.py:14-200 (BaseOCLoss). Each concrete loss
+simulates denoising trajectories and accumulates the density log-ratio (RND)
+in ONE fused ``lax.scan`` (the reference's per-step Python loops,
+losses/oc.py:252 etc., are the N1 hot loops of SURVEY.md §2.3). KL vs LV is a
+``stop_gradient`` placement on the simulated ("sde") control; masking-based
+reductions replace boolean indexing so everything stays jittable.
+
+Control convention: a control is a callable ``ctrl(t, x) -> u`` already bound
+to parameters — the trainer closes it over the current params inside the
+jitted step, and passes the EMA-bound callable for evaluation (replacing the
+reference's use_ema flags).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.common import Results, masked_mean, masked_var
+
+
+def compute_results(rnd: jnp.ndarray, compute_weights: bool = False,
+                    ts=None, samples=None, xs=None) -> Results:
+    """Metrics from the density log-ratio (losses/oc.py:133-173):
+    elbo = E[-rnd]; IS weights = softmax(-rnd);
+    log_norm_const_is = logsumexp(-rnd) - log N.
+    """
+    neg = -rnd
+    metrics = {"eval/elbo": float(neg.mean())}
+    log_norm_const_preds = {}
+    weights = None
+    if compute_weights:
+        weights = jax.nn.softmax(neg)
+        log_norm_const_preds["log_norm_const_is"] = float(
+            jax.scipy.special.logsumexp(neg) - math.log(neg.shape[0]))
+        metrics["eval/lv_loss"] = float(rnd.var(ddof=1))
+    return Results(samples=samples, weights=weights, rnd=rnd,
+                   log_norm_const_preds=log_norm_const_preds,
+                   ts=ts, xs=xs, metrics=metrics)
+
+
+class BaseOCLoss:
+    """Config + reduction shared by all trajectory losses."""
+
+    def __init__(
+        self,
+        sde=None,
+        method: str = "kl",
+        traj_per_sample: int = 1,
+        filter_samples: Callable | None = None,
+        max_rnd: float | None = None,
+        sde_ctrl_noise: float | None = None,
+        sde_ctrl_dropout: float | None = None,
+        remat: bool = True,
+    ):
+        if method not in ("kl", "kl_ito", "lv", "lv_traj"):
+            raise ValueError("Unknown loss method.")
+        if traj_per_sample == 1 and method == "lv_traj":
+            raise ValueError("Cannot compute variance over a single trajectory.")
+        self.sde = sde
+        self.method = method
+        self.traj_per_sample = traj_per_sample
+        self.filter_samples = filter_samples
+        self.max_rnd = max_rnd
+        self.sde_ctrl_noise = sde_ctrl_noise
+        self.sde_ctrl_dropout = sde_ctrl_dropout
+        self.remat = remat
+
+    # -- LV control detachment --------------------------------------------
+    @property
+    def is_lv(self) -> bool:
+        return self.method in ("lv", "lv_traj")
+
+    def _sde_ctrl(self, u: jnp.ndarray, key: jax.Array, t, x) -> jnp.ndarray:
+        """Detached simulation control for the log-variance loss, with the
+        optional exploration noise/dropout hooks (losses/oc.py:83-103)."""
+        sde_ctrl = jax.lax.stop_gradient(u)
+        if self.sde_ctrl_noise is not None:
+            key, sub = jax.random.split(key)
+            sde_ctrl = sde_ctrl + self.sde_ctrl_noise * jax.random.normal(sub, sde_ctrl.shape)
+        if self.sde_ctrl_dropout is not None:
+            key, sub = jax.random.split(key)
+            mask = jax.random.uniform(sub, sde_ctrl.shape) > self.sde_ctrl_dropout
+            replacement = -(self.sde.drift(t, x) / self.sde.diff(t, x))
+            sde_ctrl = jnp.where(mask, jnp.broadcast_to(replacement, sde_ctrl.shape), sde_ctrl)
+        return sde_ctrl
+
+    @staticmethod
+    def running_cost(u: jnp.ndarray, sde_ctrl: jnp.ndarray, detached: bool) -> jnp.ndarray:
+        """Per-step quadratic cost summed over dims: KL = ½‖u‖²,
+        LV = u·(ū − ½u) with ū the detached simulation control
+        (losses/oc.py:270-274)."""
+        if detached:
+            return jnp.sum(u * (sde_ctrl - 0.5 * u), axis=-1)
+        return 0.5 * jnp.sum(u**2, axis=-1)
+
+    # -- filtering + reduction --------------------------------------------
+    def filter_mask(self, rnd: jnp.ndarray, samples=None) -> jnp.ndarray:
+        mask = jnp.ones_like(rnd, dtype=bool)
+        if samples is not None and self.filter_samples is not None:
+            mask = mask & self.filter_samples(samples)
+        if self.max_rnd is None:
+            return mask & jnp.isfinite(rnd)
+        return mask & (rnd < self.max_rnd)
+
+    def reduce(self, rnd: jnp.ndarray, samples=None):
+        """Masked mean (kl) / variance (lv) / per-sample trajectory variance
+        (lv_traj) of the RND (losses/oc.py:105-131)."""
+        mask = self.filter_mask(rnd, samples=samples)
+        n_filtered = jnp.sum(~mask)
+        if self.method == "lv_traj":
+            r = rnd.reshape(self.traj_per_sample, -1)
+            m = mask.reshape(self.traj_per_sample, -1).all(axis=0)
+            per_sample_var = r.var(axis=0, ddof=1)
+            loss = masked_mean(per_sample_var, m)
+        elif self.method == "lv":
+            loss = masked_var(rnd, mask)
+        else:
+            loss = masked_mean(rnd, mask)
+        return loss, {"train/n_filtered": n_filtered}
+
+    def repeat_traj(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.traj_per_sample != 1:
+            return jnp.tile(x, (self.traj_per_sample, 1))
+        return x
+
+    def _scan(self, body, carry, xs):
+        if self.remat:
+            body = jax.checkpoint(body)
+        return jax.lax.scan(body, carry, xs)

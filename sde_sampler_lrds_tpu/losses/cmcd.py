@@ -1,0 +1,105 @@
+"""Discrete-time CMCD loss (Controlled Monte Carlo Diffusion).
+
+Re-design of sde_sampler/losses/oc.py:654-894: annealed Langevin forward
+kernel corrected by a learned control; the per-step cost evaluates the drift
+and control at BOTH ends of the step,
+
+  cost = (f(s,x)+f(t,y))/g + u(s,x) − u(t,y),
+  rnd += ½‖cost‖²dt + cost·(ū−u)dt + cost·dB,
+
+with initial cost log p₀(x) (eval) and terminal −log ρ(x_T). Volatility is
+constant (the annealed-Langevin SDE), one lax.scan per simulation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .base import BaseOCLoss, compute_results
+
+
+class ControlledLangevinSDELoss(BaseOCLoss):
+    def __init__(self, *args, use_rescaling: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.use_rescaling = use_rescaling
+
+    def _rescale(self, u, sde_diff):
+        return u if self.use_rescaling else u * (0.5 * sde_diff)
+
+    def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                 initial_log_prob=None, train: bool = True,
+                 change_sde_ctrl: bool = False, return_traj: bool = False):
+        sde_diff = self.sde.diff_coeff  # constant volatility by construction
+
+        def body(carry, st):
+            x, rnd, k = carry
+            s, t = st
+            k, k_db, k_ctrl = jax.random.split(k, 3)
+            dt = t - s
+            u_s = ctrl(s, x)
+            sde_ctrl = self._sde_ctrl(u_s, k_ctrl, s, x) if change_sde_ctrl else u_s
+            u_s = self._rescale(u_s, sde_diff)
+            sde_ctrl = self._rescale(sde_ctrl, sde_diff)
+            db = jnp.sqrt(dt) * jax.random.normal(k_db, x.shape)
+            drift_s = self.sde.drift(s, x)
+            y = x + (drift_s + sde_ctrl * sde_diff) * dt + sde_diff * db
+            drift_t = self.sde.drift(t, y)
+            u_t = self._rescale(ctrl(t, y), sde_diff)
+            cost = (drift_s + drift_t) / sde_diff + u_s - u_t
+            rnd = rnd + 0.5 * jnp.sum(cost**2, axis=-1) * dt
+            rnd = rnd + jnp.sum(cost * (sde_ctrl - u_s), axis=-1) * dt
+            rnd = rnd + jnp.sum(cost * db, axis=-1)
+            return (y, rnd, k), (y if return_traj else None)
+
+        if train and self.method in ("kl", "kl_ito"):
+            rnd0 = jnp.zeros((x.shape[0],), x.dtype)
+        else:
+            rnd0 = initial_log_prob(x)
+        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), (ts[:-1], ts[1:]))
+        rnd = rnd - terminal_unnorm_log_prob(x_T)
+        xs = jnp.concatenate([x[None], traj], axis=0) if return_traj else None
+        return x_T, rnd, xs
+
+    def __call__(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None):
+        x = self.repeat_traj(x)
+        samples, rnd, _ = self.simulate(
+            key, ts, x, ctrl, terminal_unnorm_log_prob,
+            initial_log_prob=initial_log_prob, train=True,
+            change_sde_ctrl=self.is_lv, return_traj=False)
+        return self.reduce(rnd, samples=samples)
+
+    def eval(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None,
+             compute_weights: bool = True, return_traj: bool = True):
+        samples, rnd, xs = self.simulate(
+            key, ts, x, ctrl, terminal_unnorm_log_prob,
+            initial_log_prob=initial_log_prob, train=False, return_traj=return_traj)
+        return compute_results(rnd, compute_weights=compute_weights, ts=ts,
+                               samples=samples, xs=xs)
+
+    def compute_eubo(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None):
+        """Reverse pass from true target samples (losses/oc.py:757-828)."""
+        sde_diff = self.sde.diff_coeff
+        times_s = jnp.flip(ts[:-1])
+        times_t = jnp.flip(ts[1:])
+
+        def body(carry, st):
+            x, rnd, k = carry
+            s, t = st
+            k, k_db = jax.random.split(k)
+            dt = t - s
+            u_t = self._rescale(ctrl(t, x), sde_diff)
+            db = jnp.sqrt(dt) * jax.random.normal(k_db, x.shape)
+            drift_t = self.sde.drift(t, x)
+            y = x + (drift_t - u_t * sde_diff) * dt + sde_diff * db
+            # NOTE: drift at (t, y) — matching the reference's reverse pass
+            # (losses/oc.py:807 evaluates drift_s at time t).
+            drift_s = self.sde.drift(t, y)
+            u_s = self._rescale(ctrl(s, y), sde_diff)
+            cost = (drift_s + drift_t) / sde_diff + u_s - u_t
+            rnd = rnd - 0.5 * jnp.sum(cost**2, axis=-1) * dt
+            rnd = rnd - jnp.sum(cost * db, axis=-1)
+            return (y, rnd, k), None
+
+        rnd0 = -terminal_unnorm_log_prob(x)
+        (x_0, rnd, _), _ = self._scan(body, (x, rnd0, key), (times_s, times_t))
+        return rnd + initial_log_prob(x_0)

@@ -1,0 +1,66 @@
+"""Original DDS loss (Vargas et al. exponential-integrator update).
+
+Re-design of sde_sampler/losses/oc.py:1310-1467:
+  β_k = clip(α√dt, 0, 1), α_k = √(1-β_k²),
+  x ← α_k x + β_k²σ² ū + σβ_k ε,
+  rnd += β_k²σ²·cost + σβ_k u·ε,
+terminal cost log p_ref(x_T) − log ρ(x_T) with the Gaussian prior as
+reference.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .base import BaseOCLoss, compute_results
+
+
+class ExponentialIntegratorSDELoss(BaseOCLoss):
+    def __init__(self, *args, alpha: float, sigma: float, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.alpha = float(alpha)
+        self.sigma = float(sigma)
+
+    def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                 reference_log_prob, compute_ito_int: bool = False,
+                 change_sde_ctrl: bool = False, return_traj: bool = False):
+        def body(carry, st):
+            x, rnd, k = carry
+            s, t = st
+            k, k_eps, k_ctrl = jax.random.split(k, 3)
+            dt = t - s
+            u = ctrl(s, x)
+            sde_ctrl = self._sde_ctrl(u, k_ctrl, s, x) if change_sde_ctrl else u
+            cost = self.running_cost(u, sde_ctrl, change_sde_ctrl)
+            beta_k = jnp.clip(self.alpha * jnp.sqrt(dt), 0.0, 1.0)
+            alpha_k = jnp.sqrt(1.0 - beta_k**2)
+            rnd = rnd + beta_k**2 * self.sigma**2 * cost
+            eps = jax.random.normal(k_eps, x.shape)
+            x_new = x * alpha_k + beta_k**2 * self.sigma**2 * sde_ctrl \
+                + self.sigma * beta_k * eps
+            if compute_ito_int:
+                rnd = rnd + self.sigma * beta_k * jnp.sum(u * eps, axis=-1)
+            return (x_new, rnd, k), (x_new if return_traj else None)
+
+        rnd0 = jnp.zeros((x.shape[0],), x.dtype)
+        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), (ts[:-1], ts[1:]))
+        rnd = rnd + reference_log_prob(x_T) - terminal_unnorm_log_prob(x_T)
+        xs = jnp.concatenate([x[None], traj], axis=0) if return_traj else None
+        return x_T, rnd, xs
+
+    def __call__(self, key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob):
+        x = self.repeat_traj(x)
+        samples, rnd, _ = self.simulate(
+            key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob,
+            compute_ito_int=self.method != "kl", change_sde_ctrl=self.is_lv,
+            return_traj=False)
+        return self.reduce(rnd, samples=samples)
+
+    def eval(self, key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob,
+             compute_weights: bool = True, return_traj: bool = True):
+        samples, rnd, xs = self.simulate(
+            key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob,
+            compute_ito_int=compute_weights, change_sde_ctrl=False,
+            return_traj=return_traj)
+        return compute_results(rnd, compute_weights=compute_weights, ts=ts,
+                               samples=samples, xs=xs)

@@ -1,0 +1,177 @@
+"""Time-reversal (DIS) losses: discrete-time EI variant and the original
+continuous-time variant with optional learned inference control.
+
+Re-design of sde_sampler/losses/oc.py:897-1307. Here generative_ctrl
+approximates ∇log p_t (the full score, not the reference-relative one):
+
+  discrete DIS (oc.py:897-1102): EI kernel with ω weights, initial cost
+      log p₀(x) (eval) and terminal −log ρ.
+  original DIS (oc.py:1105-1307): EM in forward time with the generative
+      process's own clock, optional inference control whose divergence enters
+      via a Hutchinson/exact estimator, and the eval-only drift-divergence
+      integral correction (oc.py:1219).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.autograd import compute_divx
+from .base import BaseOCLoss, compute_results
+
+
+class DiscreteTimeReversalLossEI(BaseOCLoss):
+    """Discrete-time DIS with the exponential integrator (oc.py:897)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.use_rescaling = False
+
+    def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                 initial_log_prob=None, train: bool = True,
+                 change_sde_ctrl: bool = False, return_traj: bool = False):
+        T = ts[-1]
+
+        def body(carry, st):
+            x, rnd, k = carry
+            s, t = st
+            k, k_z, k_ctrl = jax.random.split(k, 3)
+            u = ctrl(T - s, x)
+            sde_ctrl = self._sde_ctrl(u, k_ctrl, T - s, x) if change_sde_ctrl else u
+            omega = self.sde.omega(s, t)
+            rnd = rnd + omega * self.running_cost(u, sde_ctrl, change_sde_ctrl)
+            z = jax.random.normal(k_z, x.shape)
+            x_new = self.sde.ei_integration_step(x, s, t, sde_ctrl, z)
+            rnd = rnd + jnp.sqrt(omega) * jnp.sum(u * z, axis=-1)
+            return (x_new, rnd, k), (x_new if return_traj else None)
+
+        if train and self.method in ("kl", "kl_ito"):
+            rnd0 = jnp.zeros((x.shape[0],), x.dtype)
+        else:
+            rnd0 = initial_log_prob(x)
+        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), (ts[:-1], ts[1:]))
+        rnd = rnd - terminal_unnorm_log_prob(x_T)
+        xs = jnp.concatenate([x[None], traj], axis=0) if return_traj else None
+        return x_T, rnd, xs
+
+    def __call__(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None):
+        x = self.repeat_traj(x)
+        samples, rnd, _ = self.simulate(
+            key, ts, x, ctrl, terminal_unnorm_log_prob,
+            initial_log_prob=initial_log_prob, train=True,
+            change_sde_ctrl=self.is_lv, return_traj=False)
+        return self.reduce(rnd, samples=samples)
+
+    def eval(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None,
+             compute_weights: bool = True, return_traj: bool = True):
+        samples, rnd, xs = self.simulate(
+            key, ts, x, ctrl, terminal_unnorm_log_prob,
+            initial_log_prob=initial_log_prob, train=False, return_traj=return_traj)
+        return compute_results(rnd, compute_weights=compute_weights, ts=ts,
+                               samples=samples, xs=xs)
+
+    def compute_eubo(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None):
+        """Reverse noising pass (losses/oc.py:980-1036)."""
+        T = ts[-1]
+        times_s = jnp.flip(ts[:-1])
+        times_t = jnp.flip(ts[1:])
+        mean_f, var_f = self.sde.transition_params(T - times_t, T - times_s)
+        std_f = jnp.sqrt(var_f)
+
+        def body(carry, inp):
+            x, rnd, k = carry
+            s, t, mf, sf = inp
+            k, k_z = jax.random.split(k)
+            z = jax.random.normal(k_z, x.shape)
+            x = mf * x + sf * z
+            u = ctrl(T - s, x)
+            omega = self.sde.omega(s, t)
+            rnd = rnd - 0.5 * jnp.sum(u**2, axis=-1) * omega
+            rnd = rnd - jnp.sum(u * z, axis=-1) * jnp.sqrt(omega)
+            return (x, rnd, k), None
+
+        rnd0 = -terminal_unnorm_log_prob(x)
+        (x_0, rnd, _), _ = self._scan(body, (x, rnd0, key), (times_s, times_t, mean_f, std_f))
+        return rnd + initial_log_prob(x_0)
+
+
+class TimeReversalLoss(BaseOCLoss):
+    """Original DIS loss (oc.py:1105), optionally with a learned inference
+    control and divergence estimation (GBS / Bridge)."""
+
+    def __init__(self, *args, inference_ctrl: Callable | None = None,
+                 div_estimator: str | None = None, use_rescaling: bool = True,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        if not use_rescaling:
+            raise ValueError("use_rescaling must be True for TimeReversalLoss.")
+        self.inference_ctrl = inference_ctrl
+        self.div_estimator = div_estimator
+
+    def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                 initial_log_prob=None, train: bool = True,
+                 compute_ito_int: bool = False, change_sde_ctrl: bool = False,
+                 return_traj: bool = False, inference_ctrl: Callable | None = None):
+        inference_ctrl = inference_ctrl if inference_ctrl is not None else self.inference_ctrl
+
+        def body(carry, st):
+            x, rnd, k = carry
+            s, t = st
+            k, k_db, k_ctrl, k_div = jax.random.split(k, 4)
+            dt = t - s
+            u = ctrl(s, x)
+            sde_ctrl = self._sde_ctrl(u, k_ctrl, s, x) if change_sde_ctrl else u
+            sde_diff = self.sde.diff(s, x)
+            if inference_ctrl is None:
+                gen_plus = gen_minus = u
+            else:
+                div_type = self.div_estimator if train else None
+                div_ctrl, inf = compute_divx(inference_ctrl, s, x, key=k_div,
+                                             noise_type=div_type)
+                rnd = rnd + sde_diff * div_ctrl[:, 0] * dt
+                gen_plus = u + inf
+                gen_minus = u - inf
+            if change_sde_ctrl:
+                cost = jnp.sum(gen_plus * (sde_ctrl - 0.5 * gen_minus), axis=-1)
+            else:
+                cost = 0.5 * jnp.sum(gen_plus**2, axis=-1)
+            rnd = rnd + cost * dt
+            if not train:
+                rnd = rnd - self.sde.drift_div_int(s, t, x)
+            db = jnp.sqrt(dt) * jax.random.normal(k_db, x.shape)
+            x_new = x + (self.sde.drift(s, x) + sde_diff * sde_ctrl) * dt + sde_diff * db
+            if compute_ito_int:
+                rnd = rnd + jnp.sum(gen_plus * db, axis=-1)
+            return (x_new, rnd, k), (x_new if return_traj else None)
+
+        if train and self.method in ("kl", "kl_ito"):
+            rnd0 = jnp.zeros((x.shape[0],), x.dtype)
+        else:
+            rnd0 = initial_log_prob(x)
+        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), (ts[:-1], ts[1:]))
+        rnd = rnd - terminal_unnorm_log_prob(x_T)
+        xs = jnp.concatenate([x[None], traj], axis=0) if return_traj else None
+        return x_T, rnd, xs
+
+    def __call__(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                 initial_log_prob=None, inference_ctrl: Callable | None = None):
+        x = self.repeat_traj(x)
+        samples, rnd, _ = self.simulate(
+            key, ts, x, ctrl, terminal_unnorm_log_prob,
+            initial_log_prob=initial_log_prob, train=True,
+            compute_ito_int=self.method != "kl", change_sde_ctrl=self.is_lv,
+            return_traj=False, inference_ctrl=inference_ctrl)
+        return self.reduce(rnd, samples=samples)
+
+    def eval(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None,
+             compute_weights: bool = True, return_traj: bool = True,
+             inference_ctrl: Callable | None = None):
+        samples, rnd, xs = self.simulate(
+            key, ts, x, ctrl, terminal_unnorm_log_prob,
+            initial_log_prob=initial_log_prob, train=False,
+            compute_ito_int=compute_weights, return_traj=return_traj,
+            inference_ctrl=inference_ctrl)
+        return compute_results(rnd, compute_weights=compute_weights, ts=ts,
+                               samples=samples, xs=xs)
