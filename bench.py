@@ -1,0 +1,110 @@
+"""Headline benchmark: the LRDS demo configuration on real hardware.
+
+Mirrors notebooks/demo_gmm_lrds.ipynb (the only quantitative artifact the
+reference ships — see BASELINE.md): ManyModes target, VP-RDS with a fitted
+GMM reference, EI integrator, log-variance loss, 256 train steps at batch
+1024, then an evaluation pass of 8192 trajectories × 100 SDE steps.
+
+Prints ONE JSON line with trajectory throughput (SDE steps × samples / sec)
+for the eval pass; baseline = 8192·100 / 2.83 s ≈ 2.90e5 on the reference's
+CPU demo run (notebooks/metrics.jsonl:1). Quality metrics go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+EVAL_BATCH = 8192
+K_STEPS = 100
+BASELINE_THROUGHPUT = EVAL_BATCH * K_STEPS / 2.83  # reference CPU demo
+
+
+def main():
+    from sde_sampler_lrds_tpu.losses import EIReferenceSDELoss
+    from sde_sampler_lrds_tpu.models import ClippedCtrl, FourierMLP
+    from sde_sampler_lrds_tpu.sde import VP, get_timesteps
+    from sde_sampler_lrds_tpu.solvers import RDS
+    from sde_sampler_lrds_tpu.solvers.base import TrainConfig
+    from sde_sampler_lrds_tpu.targets import IsotropicGauss, ManyModes
+
+    overall_start = time.time()
+    dim = 8
+    target = ManyModes(n_modes=4, dim=dim, var=0.5, n_reference_samples=10_000)
+    prior = IsotropicGauss(dim=dim, loc=0.0, scale=1.0)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ctrl = ClippedCtrl(base_model=FourierMLP(dim=dim, zero_init=True), clip_model=1e4)
+    ts = get_timesteps(0.0, 1.0, steps=K_STEPS)
+    cfg = TrainConfig(train_steps=256, train_batch_size=1024,
+                      eval_batch_size=EVAL_BATCH, lr=3e-3,
+                      eval_interval=10_000, log_interval=64)
+    solver = RDS(target, prior, sde, ctrl, EIReferenceSDELoss,
+                 {"method": "lv", "max_rnd": 1e8}, train_ts=ts, cfg=cfg)
+    solver.change_reference_type(
+        "gmm", means=target.loc, variances=target.scale**2,
+        weights=target.mixture_weights)
+    solver.setup()
+
+    # ---- train 256 steps ------------------------------------------------
+    key = jax.random.PRNGKey(0)
+    t_train = time.time()
+    for _ in range(cfg.train_steps):
+        key, sub = jax.random.split(key)
+        metrics = solver.step(sub)
+    train_loss = float(metrics["train/loss"])
+    train_time = time.time() - t_train
+
+    # ---- timed eval sampling (8192 x 100 steps) -------------------------
+    params = solver.state.ema_params
+    ctrl_fn = solver.ctrl_fn(params)
+    args = solver.loss_call_args()
+
+    @jax.jit
+    def sample(key):
+        k_p, k_s = jax.random.split(key)
+        x0 = prior.sample(k_p, (EVAL_BATCH,))
+        x, rnd, _ = solver.loss.simulate(k_s, ts, x0, ctrl_fn, **args)
+        return x, rnd
+
+    x, rnd = sample(jax.random.PRNGKey(10))  # compile
+    jax.block_until_ready((x, rnd))
+    times = []
+    for i in range(5):
+        t0 = time.time()
+        x, rnd = sample(jax.random.PRNGKey(11 + i))
+        jax.block_until_ready((x, rnd))
+        times.append(time.time() - t0)
+    sample_time = min(times)
+    throughput = EVAL_BATCH * K_STEPS / sample_time
+
+    # ---- quality metrics (stderr) ---------------------------------------
+    neg = -rnd
+    log_z = float(jax.scipy.special.logsumexp(neg) - jnp.log(neg.shape[0]))
+    w = jax.nn.softmax(neg)
+    ess = float(w.sum() ** 2 / (w**2).sum()) / EVAL_BATCH
+    quality = {
+        "eval/elbo": float(neg.mean()),
+        "eval/log_norm_const_is": log_z,
+        "eval/norm_ess": ess,
+        "eval/lv_loss": float(rnd.var(ddof=1)),
+        "eval/sample_time_s": sample_time,
+        "train/final_loss": train_loss,
+        "train/time_s": train_time,
+        "overall_time_s": time.time() - overall_start,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(quality), file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "rds_eval_throughput",
+        "value": round(throughput, 1),
+        "unit": "sde_steps*samples/sec",
+        "vs_baseline": round(throughput / BASELINE_THROUGHPUT, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

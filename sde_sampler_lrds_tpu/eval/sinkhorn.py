@@ -1,0 +1,120 @@
+"""Entropy-regularized p-Wasserstein (Sinkhorn) distance, memory-tiled.
+
+TPU re-design of sde_sampler/eval/sinkhorn.py:11-194, which relies on pykeops
+JIT-compiled CUDA LazyTensor reductions (the N2 native-equivalent component
+of SURVEY.md §2.3). Here the n×m cost matrix is never materialized: row/col
+log-sum-exp reductions are computed over blocks inside ``lax.map``, so peak
+memory is O(block·m) while the MXU does the pairwise-distance inner products.
+The scaling loop is a ``lax.while_loop`` with the reference's stopping rule.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _pairwise_m(xb: jnp.ndarray, y: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Cost block M_ij = ||x_i - y_j||_p^p-style distances (block, m).
+
+    p == 2 uses the |x|² + |y|² − 2x·y expansion so the inner product rides
+    the MXU; p == 1 falls back to explicit differences.
+    """
+    if p == 1:
+        return jnp.abs(xb[:, None, :] - y[None, :, :]).sum(-1)
+    if p == 2:
+        sq = (xb**2).sum(-1)[:, None] + (y**2).sum(-1)[None, :] \
+            - 2.0 * xb @ y.T
+        return jnp.sqrt(jnp.maximum(sq, 0.0))
+    return ((xb[:, None, :] - y[None, :, :]) ** p).sum(-1) ** (1.0 / p)
+
+
+class Sinkhorn:
+    """Sinkhorn distance with uniform or importance weights.
+
+    Matches the reference semantics: eps-scaled log-domain updates,
+    max_iters cap, stop_thresh on the dual increments, n_max subsampling.
+    """
+
+    def __init__(self, p: int = 2, eps: float = 1e-3, max_iters: int = 100,
+                 stop_thresh: float = 1e-5, n_max: int | None = None,
+                 block_size: int = 512, **kwargs):
+        if not isinstance(p, int) or p <= 0:
+            raise ValueError(f"p must be an integer greater than 0, got {p}")
+        if eps <= 0:
+            raise ValueError("Entropy regularization term eps must be > 0")
+        self.p = p
+        self.eps = eps
+        self.max_iters = max_iters
+        self.stop_thresh = stop_thresh
+        self.n_max = n_max
+        self.block_size = block_size
+
+    def _blocked_lse(self, x, y, dual, transpose: bool):
+        """logsumexp_j[(-M_ij + dual_j)/eps] over blocks of rows.
+
+        transpose=False reduces over y (per-x row); True reduces over x.
+        """
+        a, b = (x, y) if not transpose else (y, x)
+        n = a.shape[0]
+        bs = min(self.block_size, n)
+        pad = (-n) % bs
+        a_pad = jnp.pad(a, ((0, pad), (0, 0)))
+        blocks = a_pad.reshape(-1, bs, a.shape[-1])
+
+        def one_block(ab):
+            m = _pairwise_m(ab, b, self.p)
+            return jax.scipy.special.logsumexp((-m + dual[None, :]) / self.eps, axis=1)
+
+        out = jax.lax.map(one_block, blocks).reshape(-1)
+        return out[:n]
+
+    def compute(self, x, y, w_x=None, w_y=None):
+        n, m = x.shape[0], y.shape[0]
+        if w_x is None and w_y is None:
+            w_x = jnp.ones((n,)) / n
+            w_y = jnp.ones((m,)) / m
+        w_x = jnp.reshape(w_x, (-1,))
+        w_y = jnp.reshape(w_y, (-1,))
+        log_a = jnp.log(w_x)
+        log_b = jnp.log(w_y)
+
+        u0 = jnp.zeros_like(w_x)
+        v0 = self.eps * jnp.log(w_y)
+
+        def cond(state):
+            _, _, err, it = state
+            return (err > self.stop_thresh) & (it < self.max_iters)
+
+        def body(state):
+            u, v, _, it = state
+            u_new = self.eps * (log_a - self._blocked_lse(x, y, v, transpose=False))
+            v_new = self.eps * (log_b - self._blocked_lse(y, x, u_new, transpose=True))
+            err = jnp.maximum(jnp.max(jnp.abs(u - u_new)), jnp.max(jnp.abs(v - v_new)))
+            return u_new, v_new, err, it + 1
+
+        u, v, _, _ = jax.lax.while_loop(cond, body, (u0, v0, jnp.inf, 0))
+
+        # distance = sum_ij P_ij M_ij, accumulated blockwise
+        bs = min(self.block_size, n)
+        pad = (-n) % bs
+        x_pad = jnp.pad(x, ((0, pad), (0, 0)))
+        u_pad = jnp.pad(u, (0, pad), constant_values=-jnp.inf)
+        xb = x_pad.reshape(-1, bs, x.shape[-1])
+        ub = u_pad.reshape(-1, bs)
+
+        def block_dist(args):
+            xblk, ublk = args
+            mblk = _pairwise_m(xblk, y, self.p)
+            pblk = jnp.exp((-mblk + ublk[:, None] + v[None, :]) / self.eps)
+            return jnp.sum(pblk * mblk)
+
+        return jnp.sum(jax.lax.map(block_dist, (xb, ub)))
+
+    def __call__(self, x, y, w_x=None, w_y=None):
+        if self.n_max is not None:
+            x, y = x[: self.n_max], y[: self.n_max]
+            if w_x is not None:
+                w_x = w_x[: self.n_max]
+            if w_y is not None:
+                w_y = w_y[: self.n_max]
+        return self.compute(x, y, w_x=w_x, w_y=w_y)

@@ -1,0 +1,310 @@
+"""Diffusion-based sampler algorithms: PIS, DDS, Bridge (DIS/GBS), CMCD, RDS.
+
+Re-design of sde_sampler/solver/oc.py:22-666. Each algorithm is a thin
+configuration over a loss family:
+
+  PIS   (oc.py:349): Dirac prior; reference = the SDE marginal of the prior
+        point; analytic inference control = the marginal score.
+  DDS   (oc.py:426): Gaussian prior IS the reference.
+  Bridge(oc.py:185): DIS / GBS — TimeReversal losses, optional learned
+        inference control.
+  CMCD  (oc.py:264): annealed-Langevin SDE built from prior/target scores.
+  RDS   (oc.py:495): reference process switchable at runtime between
+        default / fitted Gaussian / fitted GMM / frozen EBM
+        (change_reference_type, oc.py:513).
+
+The control network is a Flax module; ``ctrl_fn(params)`` binds it to the
+current parameters so losses stay pure functions inside the jitted step.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..losses.base import compute_results
+from ..sde.langevin import ControlledLangevinSDE, ControlledSDE
+from ..sde.integrator import integrate_sde
+from ..targets.base import Target, WrapperDistrNN
+from ..targets.delta import Delta
+from ..targets.gauss import Gauss, GaussFull
+from ..utils.common import Results, clip_norm
+from .base import Trainable, TrainConfig
+
+
+class TrainableDiff(Trainable):
+    """Shared machinery for diffusion samplers (solver/oc.py:22)."""
+
+    def __init__(self, target: Target, prior, sde, generative_ctrl,
+                 loss_cls, loss_kwargs: dict | None = None,
+                 train_ts=None, eval_ts=None, clip_target: float | None = None,
+                 cfg: TrainConfig | None = None, **kwargs):
+        super().__init__(target, cfg=cfg, **kwargs)
+        self.prior = prior
+        self.sde = sde
+        self.generative_ctrl = generative_ctrl
+        self.loss_cls = loss_cls
+        self.loss_kwargs = dict(loss_kwargs or {})
+        self.train_ts = train_ts
+        self.eval_ts = eval_ts if eval_ts is not None else train_ts
+        self.clip_target = clip_target
+        self.loss = None
+        self.setup_models()
+
+    # -- model / loss wiring ----------------------------------------------
+    def setup_models(self):
+        self.loss_kwargs.setdefault("filter_samples", getattr(self.target, "filter", None))
+        self.loss = self.loss_cls(sde=self.sde, **self.loss_kwargs)
+
+    def init_params(self, key: jax.Array):
+        x = jnp.zeros((2, self.target.dim))
+        t = jnp.zeros((2,))
+        return self.generative_ctrl.init(key, t, x)
+
+    def ctrl_fn(self, params) -> Callable:
+        return lambda t, x: self.generative_ctrl.apply(params, t, x)
+
+    def clipped_target_unnorm_log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
+        return clip_norm(self.target.unnorm_log_prob(x), self.clip_target)
+
+    def loss_call_args(self, use_ema: bool = False) -> dict:
+        """Terminal/initial/reference log-prob wiring per algorithm."""
+        raise NotImplementedError
+
+    # -- training / evaluation --------------------------------------------
+    def loss_fn(self, params, key: jax.Array):
+        k_prior, k_sim = jax.random.split(key)
+        x = self.prior.sample(k_prior, (self.cfg.train_batch_size,))
+        loss, metrics = self.loss(k_sim, self.train_ts, x, self.ctrl_fn(params),
+                                  **self.loss_call_args())
+        return loss, metrics
+
+    def evaluate(self, key: jax.Array, use_ema: bool = True,
+                 compute_weights: bool = True, return_traj: bool = True) -> Results:
+        params = self.state.ema_params if (use_ema and self.cfg.use_ema) else self.state.params
+        k_prior, k_sim = jax.random.split(key)
+        x = self.prior.sample(k_prior, (self.cfg.eval_batch_size,))
+        return self.loss.eval(k_sim, self.eval_ts, x, self.ctrl_fn(params),
+                              compute_weights=compute_weights,
+                              return_traj=return_traj, **self.loss_call_args())
+
+    def compute_eubo(self, key: jax.Array, x_target: jnp.ndarray,
+                     use_ema: bool = True) -> jnp.ndarray:
+        params = self.state.ema_params if (use_ema and self.cfg.use_ema) else self.state.params
+        return self.loss.compute_eubo(key, self.eval_ts, x_target,
+                                      self.ctrl_fn(params), **self.loss_call_args())
+
+    def sample_inference_traj(self, key: jax.Array, n: int) -> jnp.ndarray:
+        """Noising trajectories from target samples for diagnostics/plots
+        (solver/oc.py:163-180)."""
+        k_t, k_sde = jax.random.split(key)
+        x = self.target.sample(k_t, (n,))
+        sde = getattr(self, "inference_sde", self.sde)
+        return integrate_sde(sde, k_sde, self.eval_ts, x, return_traj=True)
+
+
+class Bridge(TrainableDiff):
+    """GBS / DIS (solver/oc.py:185). Optional learned inference control."""
+
+    def __init__(self, *args, inference_ctrl=None, **kwargs):
+        self.inference_ctrl_module = inference_ctrl
+        super().__init__(*args, **kwargs)
+
+    def setup_models(self):
+        super().setup_models()
+        self.inference_sde = self.sde
+        if self.inference_ctrl_module is None and not isinstance(self.prior, Gauss):
+            raise ValueError("Can only be used with Gaussian prior.")
+
+    def init_params(self, key: jax.Array):
+        k1, k2 = jax.random.split(key)
+        params = {"generative": super().init_params(k1)}
+        if self.inference_ctrl_module is not None:
+            x = jnp.zeros((2, self.target.dim))
+            params["inference"] = self.inference_ctrl_module.init(k2, jnp.zeros((2,)), x)
+        return params
+
+    def ctrl_fn(self, params) -> Callable:
+        return lambda t, x: self.generative_ctrl.apply(params["generative"], t, x)
+
+    def inference_ctrl_fn(self, params) -> Callable | None:
+        if self.inference_ctrl_module is None:
+            return None
+        return lambda t, x: self.inference_ctrl_module.apply(params["inference"], t, x)
+
+    def loss_call_args(self, use_ema: bool = False) -> dict:
+        return {"terminal_unnorm_log_prob": self.clipped_target_unnorm_log_prob,
+                "initial_log_prob": self.prior.log_prob}
+
+    def loss_fn(self, params, key: jax.Array):
+        k_prior, k_sim = jax.random.split(key)
+        x = self.prior.sample(k_prior, (self.cfg.train_batch_size,))
+        kwargs = self.loss_call_args()
+        if self.inference_ctrl_module is not None:
+            kwargs["inference_ctrl"] = self.inference_ctrl_fn(params)
+        return self.loss(k_sim, self.train_ts, x, self.ctrl_fn(params), **kwargs)
+
+    def evaluate(self, key: jax.Array, use_ema: bool = True,
+                 compute_weights: bool = True, return_traj: bool = True) -> Results:
+        params = self.state.ema_params if (use_ema and self.cfg.use_ema) else self.state.params
+        k_prior, k_sim = jax.random.split(key)
+        x = self.prior.sample(k_prior, (self.cfg.eval_batch_size,))
+        kwargs = self.loss_call_args()
+        if self.inference_ctrl_module is not None:
+            kwargs["inference_ctrl"] = self.inference_ctrl_fn(params)
+        return self.loss.eval(k_sim, self.eval_ts, x, self.ctrl_fn(params),
+                              compute_weights=compute_weights,
+                              return_traj=return_traj, **kwargs)
+
+
+class CMCD(TrainableDiff):
+    """Controlled MC diffusion over the tempering path (solver/oc.py:264)."""
+
+    def setup_models(self):
+        if not isinstance(self.prior, (Gauss, GaussFull)):
+            raise ValueError("Can only be used with gaussian prior.")
+        if not isinstance(self.sde, ControlledLangevinSDE):
+            # build the annealed-Langevin SDE from the prior/target scores
+            self.sde = ControlledLangevinSDE(
+                target_score=self.target.score, prior_score=self.prior.score,
+                diff_coeff=getattr(self.sde, "diff_coeff", 1.0),
+                terminal_t=getattr(self.sde, "terminal_t", 1.0))
+        self.inference_sde = self.sde
+        super().setup_models()
+
+    def update_prior(self, mean, var):
+        """Refit the Gaussian base distribution (solver/oc.py:291)."""
+        dim = mean.shape[0]
+        if jnp.ndim(var) == 2:
+            self.prior = GaussFull(dim=dim, loc=mean, cov=var)
+        else:
+            self.prior = Gauss(dim=dim, loc=mean, scale=jnp.sqrt(var))
+        self.sde = ControlledLangevinSDE(
+            target_score=self.target.score, prior_score=self.prior.score,
+            diff_coeff=self.sde.diff_coeff, terminal_t=self.sde.terminal_t)
+        self.inference_sde = self.sde
+        self.loss = self.loss_cls(sde=self.sde, **self.loss_kwargs)
+
+    def loss_call_args(self, use_ema: bool = False) -> dict:
+        return {"terminal_unnorm_log_prob": self.clipped_target_unnorm_log_prob,
+                "initial_log_prob": self.prior.log_prob}
+
+
+class PIS(TrainableDiff):
+    """Path integral sampler (solver/oc.py:349): Dirac prior, reference =
+    the SDE marginal of the prior point."""
+
+    def setup_models(self):
+        if not isinstance(self.prior, Delta):
+            raise ValueError("Can only be used with dirac delta prior.")
+        loc = self.prior.loc[0]
+        T = self.sde.terminal_t
+        self.reference_log_prob = lambda x: self.sde.marginal_log_prob(
+            jnp.asarray(T), x, loc)
+        self.inference_sde = ControlledSDE(self.sde, self.analytic_inference_ctrl)
+        super().setup_models()
+
+    def analytic_inference_ctrl(self, t, x):
+        """g(t)·∇log(noised-prior marginal) (solver/oc.py:380)."""
+        score = self.sde.marginal_score(t, x, self.prior.loc[0])
+        return self.sde.diff(t, x) * jnp.clip(score, max=1e5)
+
+    def loss_call_args(self, use_ema: bool = False) -> dict:
+        return {"terminal_unnorm_log_prob": self.clipped_target_unnorm_log_prob,
+                "reference_log_prob": self.reference_log_prob}
+
+
+class DDS(TrainableDiff):
+    """Denoising diffusion sampler (solver/oc.py:426): the Gaussian prior is
+    the reference distribution."""
+
+    def setup_models(self):
+        if not isinstance(self.prior, Gauss):
+            raise ValueError("Can only be used with Gaussian prior.")
+        self.reference_log_prob = self.prior.log_prob
+        super().setup_models()
+
+    def loss_call_args(self, use_ema: bool = False) -> dict:
+        return {"terminal_unnorm_log_prob": self.clipped_target_unnorm_log_prob,
+                "reference_log_prob": self.reference_log_prob}
+
+
+class RDS(TrainableDiff):
+    """Learned reference-based diffusion sampler (solver/oc.py:495)."""
+
+    def setup_models(self):
+        self.inference_sde = self.sde
+        self.change_reference_type(ref_type="default")
+        self.loss_kwargs.setdefault("filter_samples", getattr(self.target, "filter", None))
+        self._rebuild_loss()
+
+    def _rebuild_loss(self):
+        kwargs = dict(self.loss_kwargs)
+        kwargs["reference_ctrl"] = self.reference_ctrl
+        self.loss = self.loss_cls(sde=self.sde, **kwargs)
+
+    def change_reference_type(self, ref_type: str = "default", net=None, eps=None,
+                              mean=None, var=None, means=None, variances=None,
+                              weights=None):
+        """Install the reference process (solver/oc.py:513):
+        'default' (prior-derived), 'gaussian', 'gmm', or 'nn' (frozen EBM)."""
+        from ..sde.linear import VP, PinnedBM
+
+        sde = self.sde
+        if ref_type == "default":
+            loc = jnp.reshape(self.prior.loc, (-1,))
+            if isinstance(sde, VP):
+                var0 = jnp.reshape(jnp.square(self.prior.scale), (-1,))
+            elif isinstance(sde, PinnedBM):
+                var0 = sde.terminal_t * sde.diff_coeff**2 * jnp.ones_like(loc)
+            else:
+                raise ValueError(f"Default reference for SDE type {type(sde)} unsupported.")
+            self.reference_distr_utils = {"x_init": loc, "var_init": var0}
+            self.reference_log_prob = lambda x: sde.marginal_log_prob(
+                jnp.asarray(0.0), x, loc, var_init=var0)
+            self.reference_score_t = lambda t, x: sde.marginal_score(
+                t, x, loc, var_init=var0)
+        elif ref_type == "gaussian":
+            mean = jnp.asarray(mean, jnp.float32)
+            var = tuple(jnp.asarray(v, jnp.float32) for v in var) \
+                if isinstance(var, tuple) else jnp.asarray(var, jnp.float32)
+            self.reference_distr_utils = {"x_init": mean, "var_init": var}
+            self.reference_log_prob = lambda x: sde.marginal_log_prob(
+                jnp.asarray(0.0), x, mean, var_init=var)
+            self.reference_score_t = lambda t, x: sde.marginal_score(
+                t, x, mean, var_init=var)
+        elif ref_type == "gmm":
+            means = jnp.asarray(means, jnp.float32)
+            variances = tuple(jnp.asarray(v, jnp.float32) for v in variances) \
+                if isinstance(variances, tuple) else jnp.asarray(variances, jnp.float32)
+            weights = jnp.asarray(weights, jnp.float32)
+            self.reference_distr_utils = {
+                "means_init": means, "variances_init": variances, "weights_init": weights}
+            self.reference_log_prob = lambda x: sde.marginal_gmm_log_prob(
+                jnp.asarray(0.0), x, means, variances, weights)
+            self.reference_score_t = lambda t, x: sde.marginal_gmm_score(
+                t, x, means, variances, weights)
+        elif ref_type == "nn":
+            # net: (t, x) -> score; net_log_prob: (t, x) -> unnorm log prob
+            net_score, net_log_prob = net
+            eps = jnp.asarray(eps if eps is not None else 1e-4, jnp.float32)
+            self.reference_distr_utils = {"net": net}
+            wrapper = WrapperDistrNN(dim=self.target.dim,
+                                     unnorm_log_prob_t=net_log_prob, t=float(eps))
+            self.reference_log_prob = wrapper.unnorm_log_prob
+            self.reference_score_t = lambda t, x: net_score(
+                jnp.broadcast_to(jnp.reshape(t, (-1,)), (x.shape[0],)), x)
+        else:
+            raise NotImplementedError(f"Reference type {ref_type!r} is unknown.")
+        self.ref_type = ref_type
+        if self.loss is not None:
+            self._rebuild_loss()
+
+    def reference_ctrl(self, t, x):
+        return self.reference_score_t(t, x)
+
+    def loss_call_args(self, use_ema: bool = False) -> dict:
+        return {"terminal_unnorm_log_prob": self.clipped_target_unnorm_log_prob,
+                "reference_log_prob": self.reference_log_prob}

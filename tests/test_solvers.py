@@ -1,0 +1,169 @@
+"""Solver-layer tests: short end-to-end training runs for each algorithm
+(PIS / DDS / Bridge / CMCD / RDS) on tiny problems, checkpoint round-trip,
+and the multi-device sharded train step.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sde_sampler_lrds_tpu.losses import (
+    ControlledLangevinSDELoss,
+    DiscreteTimeReversalLossEI,
+    EIReferenceSDELoss,
+    EMReferenceSDELoss,
+    ExponentialIntegratorSDELoss,
+    TimeReversalLoss,
+)
+from sde_sampler_lrds_tpu.models import ClippedCtrl, FourierMLP
+from sde_sampler_lrds_tpu.sde import VP, ScaledBM, PinnedBM, get_timesteps
+from sde_sampler_lrds_tpu.solvers import CMCD, DDS, PIS, RDS, Bridge, LangevinSolver
+from sde_sampler_lrds_tpu.solvers.base import TrainConfig
+from sde_sampler_lrds_tpu.targets import Delta, Gauss, IsotropicGauss, TwoModes
+
+CFG = TrainConfig(train_steps=40, train_batch_size=128, eval_batch_size=512,
+                  lr=2e-3, eval_interval=1000, log_interval=20)
+
+
+def make_ctrl(dim=2):
+    return ClippedCtrl(base_model=FourierMLP(dim=dim, channels=32, zero_init=True),
+                       clip_model=1e4)
+
+
+def run_short(solver, n=30):
+    solver.setup()
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for _ in range(n):
+        key, sub = jax.random.split(key)
+        m = solver.step(sub)
+        losses.append(float(m["train/loss"]))
+    assert np.isfinite(losses).all()
+    res = solver.evaluate(jax.random.PRNGKey(3))
+    assert res.samples.shape == (CFG.eval_batch_size, solver.target.dim)
+    assert np.isfinite(res.metrics["eval/elbo"])
+    return losses, res
+
+
+def test_rds_em_end_to_end(tmp_path):
+    target = Gauss(dim=2, loc=0.5, scale=1.2, n_reference_samples=10_000)
+    prior = IsotropicGauss(dim=2)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ts = get_timesteps(0.0, 1.0, steps=16)
+    solver = RDS(target, prior, sde, make_ctrl(), EMReferenceSDELoss,
+                 {"method": "kl"}, train_ts=ts, cfg=CFG, out_dir=tmp_path)
+    losses, res = run_short(solver)
+    # training reduces the KL loss on an easy Gaussian target
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    # checkpoint round-trip
+    p = solver.store_checkpoint()
+    state_before = jax.tree.map(np.asarray, solver.state.params)
+    solver.step(jax.random.PRNGKey(9))
+    assert solver.load_checkpoint(p)
+    state_after = jax.tree.map(np.asarray, solver.state.params)
+    jax.tree.map(np.testing.assert_array_equal, state_before, state_after)
+
+
+def test_rds_reference_switch():
+    target = TwoModes(dim=2, n_reference_samples=10_000)
+    prior = IsotropicGauss(dim=2)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ts = get_timesteps(0.0, 1.0, steps=16)
+    solver = RDS(target, prior, sde, make_ctrl(), EIReferenceSDELoss,
+                 {"method": "lv", "max_rnd": 1e8}, train_ts=ts, cfg=CFG)
+    # fitted-Gaussian reference
+    solver.change_reference_type("gaussian", mean=jnp.zeros(2), var=jnp.ones(2))
+    assert solver.ref_type == "gaussian"
+    # fitted-GMM reference (the LRDS flagship path)
+    solver.change_reference_type(
+        "gmm", means=target.loc, variances=target.scale**2,
+        weights=target.mixture_weights)
+    assert solver.ref_type == "gmm"
+    run_short(solver, n=20)
+
+
+def test_pis_end_to_end():
+    # PIS pairs the Dirac prior with plain Brownian motion (conf/sde/bm_pis);
+    # PinnedBM's marginal at exactly t=T degenerates (0·inf) by design.
+    target = Gauss(dim=2, loc=0.3, scale=1.0, n_reference_samples=10_000)
+    prior = Delta(dim=2, loc=0.0)
+    sde = ScaledBM(diff_coeff=1.0, terminal_t=5.0)
+    ts = get_timesteps(0.0, 5.0, steps=16)
+    solver = PIS(target, prior, sde, make_ctrl(), EMReferenceSDELoss,
+                 {"method": "lv", "max_rnd": 1e8}, train_ts=ts, cfg=CFG)
+    run_short(solver, n=20)
+
+
+def test_dds_end_to_end():
+    target = Gauss(dim=2, loc=0.3, scale=1.0, n_reference_samples=10_000)
+    prior = IsotropicGauss(dim=2, scale=1.0)
+    ts = get_timesteps(0.0, 6.4, steps=16, rescale_t="cosine")
+    solver = DDS(target, prior, None, make_ctrl(), ExponentialIntegratorSDELoss,
+                 {"method": "lv", "alpha": 1.0, "sigma": 1.0, "max_rnd": 1e8},
+                 train_ts=ts, cfg=CFG)
+    run_short(solver, n=20)
+
+
+def test_bridge_dis_end_to_end():
+    target = Gauss(dim=2, loc=0.3, scale=1.0, n_reference_samples=10_000)
+    prior = IsotropicGauss(dim=2, scale=1.0)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ts = get_timesteps(0.0, 1.0, steps=16)
+    solver = Bridge(target, prior, sde, make_ctrl(), DiscreteTimeReversalLossEI,
+                    {"method": "lv", "max_rnd": 1e8}, train_ts=ts, cfg=CFG)
+    run_short(solver, n=20)
+
+
+def test_bridge_gbs_learned_inference_ctrl():
+    target = Gauss(dim=2, loc=0.3, scale=1.0, n_reference_samples=10_000)
+    prior = IsotropicGauss(dim=2, scale=1.0)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ts = get_timesteps(0.0, 1.0, steps=8)
+    solver = Bridge(target, prior, sde, make_ctrl(), TimeReversalLoss,
+                    {"method": "kl", "div_estimator": "rademacher"},
+                    train_ts=ts, cfg=CFG, inference_ctrl=make_ctrl())
+    run_short(solver, n=10)
+
+
+def test_cmcd_end_to_end():
+    target = TwoModes(dim=2, n_reference_samples=10_000)
+    prior = Gauss(dim=2, loc=0.0, scale=2.0)
+    solver = CMCD(target, prior, None, make_ctrl(), ControlledLangevinSDELoss,
+                  {"method": "lv", "max_rnd": 1e8},
+                  train_ts=get_timesteps(0.0, 1.0, steps=16), cfg=CFG)
+    run_short(solver, n=20)
+    # prior refit (solver/oc.py:291)
+    solver.update_prior(jnp.asarray([0.1, 0.1]), jnp.asarray([1.5, 1.5]))
+    solver.setup()
+    run_short(solver, n=5)
+
+
+def test_langevin_solver():
+    target = Gauss(dim=2, loc=0.5, scale=1.0, n_reference_samples=10_000)
+    prior = IsotropicGauss(dim=2, scale=2.0)
+    ts = get_timesteps(0.0, 5.0, steps=200)
+    solver = LangevinSolver(target, prior, eval_ts=ts, eval_batch_size=2048,
+                            burn_steps=100)
+    solver.setup(jax.random.PRNGKey(0))
+    res = solver.run(jax.random.PRNGKey(1))
+    # ULA on a Gaussian converges: E[sum x] = 1.0 (loose: finite chain + bias)
+    assert abs(res.expectation_preds["sum"] - 1.0) < 0.3
+    assert res.xs.shape == (201, 2048, 2)
+
+
+def test_sharded_train_step_multi_device():
+    """The same jitted step runs with the batch sharded over all 8 virtual
+    devices (data-parallel particles; psum inserted by XLA)."""
+    assert jax.device_count() >= 8
+    from sde_sampler_lrds_tpu.parallel import get_mesh
+
+    mesh = get_mesh(8)
+    target = Gauss(dim=2, loc=0.5, scale=1.2, n_reference_samples=10_000)
+    prior = IsotropicGauss(dim=2)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ts = get_timesteps(0.0, 1.0, steps=8)
+    solver = RDS(target, prior, sde, make_ctrl(), EMReferenceSDELoss,
+                 {"method": "kl"}, train_ts=ts, cfg=CFG, mesh=mesh)
+    solver.setup()
+    m = solver.step(jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["train/loss"]))
