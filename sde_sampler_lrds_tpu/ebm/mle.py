@@ -1,0 +1,248 @@
+"""Contrastive maximum-likelihood training of time-indexed EBMs.
+
+Re-design of sde_sampler/additions/ebm_mle.py:401-809. The trainer learns an
+annealed energy E(t, x) (usually a GMM/Gauss-tilted potential) so that its
+Gibbs distributions match the SDE-noised data at every level:
+
+  positives: analytically noised data  x⁺ = s(t)·x₀ + s(t)√σ²(t)·ε
+  negatives: samples of the current model via {annealed_mcmc, smc, smc_pdds,
+             replica_exchange (persistent chains), cd}
+  loss:      E[E(t,x⁺)] − E[E(t,x⁻)]  (+ 1/σ²(t) reweighting, + energy L2)
+
+TPU design: the negative sampler is one fused scan (mcmc/smc.py) invoked
+under jit with the current (stop-gradient) parameters; one jitted
+loss-and-update step; persistent replica state and per-level step sizes are
+explicit carried arrays, not module buffers. NaN/divergence aborts match the
+reference (ebm_mle.py:760-767).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..mcmc.smc import re_sampler, smc_sampler
+from ..mcmc.kernels import MCMCState
+from ..mcmc.smc import _mcmc_scan
+from ..utils.common import get_timesteps
+
+SAMPLER_TYPES = ("annealed_mcmc", "smc", "smc_pdds", "replica_exchange", "cd")
+
+
+class MaximumLikelihoodEBM:
+    def __init__(self, sde, prior, net, sampler_type: str,
+                 step_sizes_per_noise=1e-3, precond_matrix_per_noise=None,
+                 precond_matrix_chol_per_noise=None, use_ula: bool = False,
+                 reweight_threshold: float = 1.0, swap_frequency: int = 16,
+                 target_acceptance: float = 0.75, perc_keep_mcmc: float = -1.0,
+                 use_snr_adapted_disc: bool = False, start_eps: float = 1e-3,
+                 end_eps: float = 0.0, n_steps: int = 100):
+        if sampler_type not in SAMPLER_TYPES:
+            raise NotImplementedError(f"Sampler {sampler_type} not found.")
+        self.sde = sde
+        self.prior = prior
+        self.net = net  # flax module with energy / unnorm_log_prob_and_grad methods
+        self.sampler_type = sampler_type
+        self.reweight_threshold = reweight_threshold
+        self.swap_frequency = swap_frequency
+        self.init_step_size = step_sizes_per_noise
+        self.precond_matrix_per_noise = precond_matrix_per_noise
+        self.precond_matrix_chol_per_noise = precond_matrix_chol_per_noise
+        self.use_precond = precond_matrix_per_noise is not None
+        self.use_ula = use_ula
+        self.target_acceptance = target_acceptance
+        self.use_snr_adapted_disc = use_snr_adapted_disc
+        self.perc_keep_mcmc = perc_keep_mcmc
+        self.start_eps = start_eps
+        self.end_eps = end_eps
+        self.n_steps = n_steps
+        self.times = get_timesteps(
+            start=start_eps, end=sde.terminal_t - end_eps, steps=n_steps,
+            sde=sde if use_snr_adapted_disc else None)
+        self.params = None
+        self.ema_params = None
+
+    # -- model plumbing ------------------------------------------------------
+    def init_params(self, key, dim: int):
+        t = jnp.zeros((2,))
+        x = jnp.zeros((2, dim))
+        self.params = self.net.init(key, t, x)
+        self.ema_params = self.params
+        return self.params
+
+    def log_prob_and_grads(self, params) -> Callable:
+        return lambda t, y: self.net.apply(
+            params, jnp.reshape(t, (-1,)), y, method="unnorm_log_prob_and_grad")
+
+    def energy(self, params, t, x):
+        return self.net.apply(params, jnp.reshape(t, (-1,)), x, method="energy")
+
+    # -- negative sampling ---------------------------------------------------
+    def sample_negatives(self, params, key, batch_size: int, step_sizes,
+                         n_warmup: int, n_mcmc: int, persistent=None,
+                         xs_pos=None):
+        """One jit-compatible negative-sampling pass. Returns
+        (xs_neg flat (N, D), new_step_sizes, new_persistent, diags)."""
+        lpg = self.log_prob_and_grads(jax.lax.stop_gradient(params))
+        L = self.times.shape[0]
+        k_init, k_run = jax.random.split(key)
+        if self.sampler_type in ("annealed_mcmc", "smc", "smc_pdds"):
+            x_init = self.prior.sample(k_init, (batch_size,))
+            thr = 0.0 if self.sampler_type == "annealed_mcmc" else self.reweight_threshold
+            samples, new_ss, diags = smc_sampler(
+                k_run, x_init, self.times,
+                lambda t, y: lpg(jnp.full((y.shape[0],), t), y),
+                n_warmup_mcmc_steps=n_warmup, n_mcmc_steps=n_mcmc,
+                step_sizes_per_noise=step_sizes,
+                reweight_threshold=thr,
+                use_pdds_weights=self.sampler_type == "smc_pdds",
+                sde=self.sde if self.sampler_type == "smc_pdds" else None,
+                target_acceptance=self.target_acceptance,
+                precond_matrix_per_noise=self.precond_matrix_per_noise,
+                precond_matrix_chol_per_noise=self.precond_matrix_chol_per_noise,
+                use_ula=self.use_ula)
+            xs_neg = jnp.swapaxes(samples, 0, 1).reshape(-1, samples.shape[-1])
+            return xs_neg, new_ss, persistent, diags
+        if self.sampler_type == "replica_exchange":
+            # persistent replicas: an (L, B, D) array on the first call, the
+            # re_sampler's (x, lp, grad) state tuple afterwards
+            if persistent is None:
+                x_init = self.prior.sample(k_init, (L, batch_size))
+                init_state = None
+            elif isinstance(persistent, tuple):
+                x_init = persistent[0].reshape(L, batch_size, -1)
+                init_state = persistent
+            else:
+                x_init, init_state = persistent, None
+            samples, new_ss, diags, new_persistent = re_sampler(
+                k_run, x_init, self.times, lpg,
+                swap_frequency=self.swap_frequency,
+                n_warmup_mcmc_steps=n_warmup, n_mcmc_steps=n_mcmc,
+                step_sizes_per_noise=step_sizes, per_noise_init=True,
+                target_acceptance=self.target_acceptance,
+                precond_matrix_per_noise=self.precond_matrix_per_noise,
+                precond_matrix_chol_per_noise=self.precond_matrix_chol_per_noise,
+                use_ula=self.use_ula, init_state=init_state)
+            xs_neg = samples.reshape(-1, samples.shape[-1])
+            return xs_neg, new_ss, new_persistent, diags
+        # 'cd': contrastive divergence from the positives (ebm_mle.py:528)
+        t_flat = jnp.repeat(self.times, xs_pos.shape[0] // L)
+        local_lpg = lambda y: lpg(t_flat, y)
+        lp0, g0 = local_lpg(xs_pos)
+        ss_flat = jnp.broadcast_to(jnp.reshape(step_sizes, (-1, 1)),
+                                   (xs_pos.shape[0], 1))
+        state = MCMCState(x=xs_pos, log_prob=lp0, grad=g0, step_size=ss_flat)
+        state, (samples, accs) = _mcmc_scan(
+            k_run, state, local_lpg, n_warmup + n_mcmc, self.use_ula,
+            self.target_acceptance, collect=True)
+        xs_neg = samples[n_warmup:].reshape(-1, xs_pos.shape[-1])
+        return xs_neg, state.step_size, persistent, {"acc": accs.mean()}
+
+    # -- training --------------------------------------------------------------
+    def train(self, key, data: jnp.ndarray, batch_size: int, n_epochs: int,
+              reweight_loss: bool = False, lr: float = 3e-4, decay: float = 0.0,
+              clip_val: float = 1.0, initial_n_warmup_mcmc_steps: int = 1024,
+              n_mcmc_steps: int = 32, reg_val: float = 0.0,
+              use_ema: bool = False, ema_decay: float = 0.995,
+              verbose: bool = False):
+        """Host loop over epochs/batches; sampling + update are jitted.
+
+        Returns (losses, grad_norms, diagnostics).
+        """
+        L = self.times.shape[0]
+        dim = data.shape[-1]
+        if self.params is None:
+            key, sub = jax.random.split(key)
+            self.init_params(sub, dim)
+
+        if self.perc_keep_mcmc > 0:
+            n_warmup = int((1.0 - self.perc_keep_mcmc) * n_mcmc_steps)
+            n_kept = max(int(self.perc_keep_mcmc * n_mcmc_steps), 1)
+        else:
+            n_warmup = n_mcmc_steps - 1
+            n_kept = 1
+        eff_batch = min(batch_size * n_kept, data.shape[0]) \
+            if self.sampler_type != "cd" else batch_size
+
+        tx = optax.adamw(lr, weight_decay=decay) if decay > 0 else optax.adam(lr)
+        if clip_val > 0:
+            tx = optax.chain(optax.clip_by_global_norm(clip_val), tx)
+        opt_state = tx.init(self.params)
+
+        ts_pos = jnp.repeat(self.times, eff_batch)  # (L*eff_batch,)
+        mean_f = self.sde.s(ts_pos)[:, None]
+        std_f = mean_f * jnp.sqrt(self.sde.sigma_sq(ts_pos))[:, None]
+        loss_scale = (1.0 / self.sde.sigma_sq(ts_pos)) if reweight_loss else 1.0
+
+        step_sizes = jnp.asarray(self.init_step_size)
+        if step_sizes.ndim == 0:
+            step_sizes = jnp.full((L, batch_size, 1), float(step_sizes))
+        elif step_sizes.ndim == 1:
+            step_sizes = jnp.broadcast_to(step_sizes[:, None, None], (L, batch_size, 1))
+
+        persistent = None
+        if self.sampler_type == "replica_exchange":
+            key, sub = jax.random.split(key)
+            if hasattr(self.net, "sample_prior"):
+                t_rep = jnp.repeat(self.times, batch_size)
+                x0 = self.net.apply(self.params, sub, t_rep, method="sample_prior")
+                persistent = x0.reshape(L, batch_size, dim)
+            else:
+                persistent = self.prior.sample(sub, (L, batch_size))
+
+        def loss_fn(params, ts_p, xs_p, ts_n, xs_n):
+            en_pos = self.energy(params, ts_p, xs_p)
+            en_neg = self.energy(params, ts_n, xs_n)
+            if self.sampler_type == "cd":
+                loss = en_pos.mean() - en_neg.mean()
+            else:
+                loss = jnp.mean(loss_scale * (en_pos - en_neg))
+            if reg_val > 0:
+                loss = loss + reg_val * (jnp.mean(en_pos**2) + jnp.mean(en_neg**2))
+            return loss
+
+        @jax.jit
+        def update(params, opt_state, ts_p, xs_p, ts_n, xs_n):
+            loss, grads = jax.value_and_grad(loss_fn)(params, ts_p, xs_p, ts_n, xs_n)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss, gnorm
+
+        losses, grad_norms, diagnostics = [], [], []
+        n_batches = data.shape[0] // eff_batch
+        first = True
+        for epoch in range(n_epochs):
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, data.shape[0])
+            for b in range(n_batches):
+                batch = data[perm[b * eff_batch:(b + 1) * eff_batch]]
+                key, k_noise, k_neg = jax.random.split(key, 3)
+                eps = jax.random.normal(k_noise, (ts_pos.shape[0], dim))
+                xs_pos = mean_f * jnp.tile(batch, (L, 1)) + std_f * eps
+                warm = initial_n_warmup_mcmc_steps if first else n_warmup
+                xs_neg, step_sizes, persistent, diags = self.sample_negatives(
+                    self.params, k_neg, batch_size, step_sizes, warm, n_kept,
+                    persistent=persistent,
+                    xs_pos=xs_pos if self.sampler_type == "cd" else None)
+                first = False
+                ts_neg = jnp.repeat(self.times, xs_neg.shape[0] // L)
+                self.params, opt_state, loss, gnorm = update(
+                    self.params, opt_state, ts_pos, xs_pos, ts_neg, xs_neg)
+                loss_f = float(loss)
+                if np.isnan(loss_f):
+                    raise RuntimeError("NaN loss detected.")
+                if abs(loss_f) > 1e9:
+                    raise RuntimeError(f"Training diverged (loss = {loss_f:.2e}).")
+                losses.append(loss_f)
+                grad_norms.append(float(gnorm))
+                diagnostics.append(jax.tree.map(lambda v: float(jnp.mean(v)), diags))
+                if use_ema:
+                    self.ema_params = jax.tree.map(
+                        lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                        self.ema_params, self.params)
+                else:
+                    self.ema_params = self.params
+        return np.asarray(losses), np.asarray(grad_norms), diagnostics

@@ -76,25 +76,34 @@ class GMMTiltedPotential(nn.Module):
         return scaling_factor**2 * self.variances
 
     # -- exact noised-GMM prior -------------------------------------------
+    def _sf_per_sample(self, scaling_factor, batch: int):
+        """Broadcast scaling_factor to (B,) — DRL passes per-sample factors
+        (reparam.py:338-344 vmaps over them); scalars stay scalar."""
+        if jnp.ndim(scaling_factor) == 0:
+            return jnp.full((batch,), scaling_factor, jnp.float32)
+        return jnp.reshape(jnp.asarray(scaling_factor, jnp.float32), (batch,))
+
     def prior_log_prob(self, t, x, scaling_factor=1.0):
-        """log gmm_t(x) with per-sample times; t (B,), x (B, D) -> (B,)."""
-        var = self._scaled_variances(scaling_factor)
+        """log gmm_t(x) with per-sample times/scalings; t (B,), x (B, D) -> (B,)."""
+        sf = self._sf_per_sample(scaling_factor, x.shape[0])
 
-        def single(ti, xi):
+        def single(ti, xi, sfi):
             return self.sde.marginal_gmm_log_prob(
-                self._clamp_t(ti), xi[None], scaling_factor * self.means, var, self.weights)[0]
+                self._clamp_t(ti), xi[None], sfi * self.means,
+                self._scaled_variances(sfi), self.weights)[0]
 
-        return jax.vmap(single)(jnp.reshape(t, (-1,)), x)
+        return jax.vmap(single)(jnp.reshape(t, (-1,)), x, sf)
 
     def prior_log_prob_and_grad(self, t, x, scaling_factor=1.0):
         lp = self.prior_log_prob(t, x, scaling_factor)
-        var = self._scaled_variances(scaling_factor)
+        sf = self._sf_per_sample(scaling_factor, x.shape[0])
 
-        def single(ti, xi):
+        def single(ti, xi, sfi):
             return self.sde.marginal_gmm_score(
-                self._clamp_t(ti), xi[None], scaling_factor * self.means, var, self.weights)[0]
+                self._clamp_t(ti), xi[None], sfi * self.means,
+                self._scaled_variances(sfi), self.weights)[0]
 
-        return lp, jax.vmap(single)(jnp.reshape(t, (-1,)), x)
+        return lp, jax.vmap(single)(jnp.reshape(t, (-1,)), x, sf)
 
     def sample_prior(self, key, ts):
         """Sample the noised GMM at per-sample times ts (reparam.py:367)."""

@@ -1,0 +1,149 @@
+"""EBM-layer tests: tilted potentials, MLE/DAEBM/DRL trainers, score matching."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sde_sampler_lrds_tpu.ebm import (
+    DAEBM,
+    DiffusionRecoveryLikelihood,
+    MaximumLikelihoodEBM,
+    PerfectScoreMatching,
+    ScoreMatching,
+    TargetScoreMatching,
+)
+from sde_sampler_lrds_tpu.models import FourierMLP, GMMTiltedPotential
+from sde_sampler_lrds_tpu.sde import VP
+from sde_sampler_lrds_tpu.targets import Gauss, GMM
+
+MEANS = jnp.asarray([[-1.0, 0.5], [1.0, -0.5]])
+VARS = jnp.asarray([[0.3, 0.5], [0.4, 0.2]])
+WEIGHTS = jnp.asarray([0.6, 0.4])
+
+
+def make_potential(sde, zero_init=True):
+    return GMMTiltedPotential(
+        base_model=FourierMLP(dim=2, channels=32, zero_init=zero_init),
+        sde=sde, weights=WEIGHTS, means=MEANS, variances=VARS, tilt_type="dot")
+
+
+def test_gmm_tilted_potential_init_is_noised_gmm():
+    """With a near-zero-init net the tilted score equals the exact noised-GMM
+    score at every level (the whole point of the construction)."""
+    sde = VP()
+    pot = make_potential(sde)
+    params = pot.init(jax.random.PRNGKey(0), jnp.zeros((2,)), jnp.zeros((2, 2)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    for t in (0.05, 0.4, 0.9):
+        tv = jnp.full((16,), t)
+        score = pot.apply(params, tv, x)
+        expected = sde.marginal_gmm_score(jnp.asarray(t), x, MEANS, VARS, WEIGHTS)
+        np.testing.assert_allclose(np.asarray(score), np.asarray(expected),
+                                   rtol=1e-3, atol=1e-3)
+        lp = pot.apply(params, tv, x, method="unnorm_log_prob")
+        expected_lp = sde.marginal_gmm_log_prob(jnp.asarray(t), x, MEANS, VARS, WEIGHTS)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(expected_lp),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_gmm_tilted_grad_consistency():
+    """unnorm_log_prob_and_grad's grad equals autodiff of unnorm_log_prob."""
+    sde = VP()
+    pot = make_potential(sde, zero_init=False)
+    params = pot.init(jax.random.PRNGKey(0), jnp.zeros((2,)), jnp.zeros((2, 2)))
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 2))
+    t = jnp.full((8,), 0.3)
+    _, grad = pot.apply(params, t, x, method="unnorm_log_prob_and_grad")
+    auto = jax.grad(lambda y: pot.apply(params, t, y, method="unnorm_log_prob").sum())(x)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(auto), rtol=1e-3, atol=1e-4)
+
+
+def test_gmm_tilted_sample_prior():
+    sde = VP()
+    pot = make_potential(sde)
+    params = pot.init(jax.random.PRNGKey(0), jnp.zeros((2,)), jnp.zeros((2, 2)))
+    ts = jnp.full((5000,), 0.01)
+    s = pot.apply(params, jax.random.PRNGKey(3), ts, method="sample_prior")
+    assert s.shape == (5000, 2)
+    mean = jnp.sum((WEIGHTS / WEIGHTS.sum())[:, None] * MEANS, axis=0)
+    np.testing.assert_allclose(np.asarray(s.mean(0)), np.asarray(mean), atol=0.1)
+
+
+@pytest.mark.parametrize("sampler", ["annealed_mcmc", "smc", "replica_exchange", "cd"])
+def test_mle_ebm_trains(sampler):
+    sde = VP()
+    target = GMM(dim=2, loc=MEANS, scale=jnp.sqrt(VARS), mixture_weights=WEIGHTS)
+    prior = Gauss(dim=2, loc=0.0, scale=1.0)
+    data = target.sample(jax.random.PRNGKey(4), (256,))
+    pot = make_potential(sde)
+    trainer = MaximumLikelihoodEBM(sde, prior, pot, sampler_type=sampler,
+                                   step_sizes_per_noise=1e-2, n_steps=6,
+                                   use_ula=(sampler == "cd"))
+    losses, gnorms, diags = trainer.train(
+        jax.random.PRNGKey(5), data, batch_size=32, n_epochs=2,
+        initial_n_warmup_mcmc_steps=8, n_mcmc_steps=4)
+    assert np.isfinite(losses).all()
+    assert len(losses) >= 2
+
+
+def test_daebm_trains():
+    sde = VP()
+    target = Gauss(dim=2, loc=0.5, scale=0.8)
+    prior = Gauss(dim=2, loc=0.0, scale=1.0)
+    data = target.sample(jax.random.PRNGKey(6), (256,))
+    pot = make_potential(sde)
+    trainer = DAEBM(sde, prior, pot, step_size=1e-2, persistent_size=128, n_steps=6)
+    losses, diags = trainer.train(jax.random.PRNGKey(7), data, batch_size=32,
+                                  n_epochs=1, initial_n_warmup_mcmc_steps=4,
+                                  n_mcmc_steps=4, n_local_steps=2)
+    assert np.isfinite(losses).all()
+
+
+def test_drl_trains():
+    sde = VP()
+    target = Gauss(dim=2, loc=0.5, scale=0.8)
+    prior = Gauss(dim=2, loc=0.0, scale=1.0)
+    data = target.sample(jax.random.PRNGKey(8), (256,))
+    pot = make_potential(sde)
+    trainer = DiffusionRecoveryLikelihood(sde, prior, pot, n_steps=6)
+    losses, accs = trainer.train(jax.random.PRNGKey(9), data, batch_size=64,
+                                 n_epochs=2, n_mcmc_steps=4)
+    assert np.isfinite(losses).all()
+    assert 0.0 <= np.mean(accs) <= 1.0
+
+
+def test_score_matching_learns_gaussian_score():
+    """DSM on N(mu, v) data: the learned score at small t approaches the
+    analytic noised score; ancestral samples match the data moments."""
+    sde = VP()
+    mu, var = 0.7, 0.6
+    target = Gauss(dim=2, loc=mu, scale=float(np.sqrt(var)))
+    prior = Gauss(dim=2, loc=0.0, scale=1.0)
+    data = target.sample(jax.random.PRNGKey(10), (4096,))
+    net = FourierMLP(dim=2, channels=64)
+    sm = ScoreMatching(sde, prior, net, t_start=0.01, t_end=0.99, n_steps=32)
+    losses = sm.train(jax.random.PRNGKey(11), data, batch_size=512, n_epochs=60,
+                      lr=2e-3)
+    assert losses[-5:].mean() < losses[:5].mean()
+    samples = sm.sample(jax.random.PRNGKey(12), 4096)
+    np.testing.assert_allclose(np.asarray(samples.mean(0)), [mu, mu], atol=0.15)
+    np.testing.assert_allclose(np.asarray(samples.var(0)), [var, var], rtol=0.35)
+
+
+def test_target_and_perfect_score_matching_losses():
+    sde = VP()
+    target = Gauss(dim=2, loc=0.5, scale=0.8)
+    prior = Gauss(dim=2, loc=0.0, scale=1.0)
+    data = target.sample(jax.random.PRNGKey(13), (512,))
+    net = FourierMLP(dim=2, channels=32)
+    tsm = TargetScoreMatching(target_score=target.score, sde=sde, prior=prior,
+                              score_net=net, t_start=0.01, t_end=0.99, n_steps=8)
+    losses = tsm.train(jax.random.PRNGKey(14), data, batch_size=128, n_epochs=3)
+    assert np.isfinite(losses).all()
+    mu = jnp.asarray([0.5, 0.5])
+    v = jnp.asarray([0.64, 0.64])
+    perfect = lambda t, y: sde.marginal_score(t[0], y, mu, var_init=v)
+    psm = PerfectScoreMatching(perfect_score=perfect, sde=sde, prior=prior,
+                               score_net=net, t_start=0.01, t_end=0.99, n_steps=8)
+    losses = psm.train(jax.random.PRNGKey(15), data, batch_size=128, n_epochs=3)
+    assert np.isfinite(losses).all()
