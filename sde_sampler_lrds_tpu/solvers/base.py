@@ -221,13 +221,10 @@ class Trainable(Solver):
         last_metrics["train/time"] = self.train_time
         return last_metrics
 
-    def eval_metrics(self, key: jax.Array) -> dict:
+    def metrics_from_results(self, results: Results, key: jax.Array) -> dict:
         from ..eval.metrics import get_metrics
 
-        t0 = time.time()
-        results = self.evaluate(key)
         metrics = dict(results.metrics)
-        metrics["eval/sample_time"] = time.time() - t0
         if results.samples is not None:
             k_gt = jax.random.fold_in(key, 7)
             metrics.update(get_metrics(
@@ -236,6 +233,13 @@ class Trainable(Solver):
                 expectation_preds=results.expectation_preds,
                 marginal_dims=self.eval_marginal_dims,
                 sample_losses=self.sample_losses, sample_key=k_gt))
+        return metrics
+
+    def eval_metrics(self, key: jax.Array) -> dict:
+        t0 = time.time()
+        results = self.evaluate(key)
+        metrics = self.metrics_from_results(results, key)
+        metrics["eval/sample_time"] = time.time() - t0
         return metrics
 
     # -- checkpointing (solver/base.py:204-255) ----------------------------

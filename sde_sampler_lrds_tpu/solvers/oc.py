@@ -37,6 +37,8 @@ from .base import Trainable, TrainConfig
 class TrainableDiff(Trainable):
     """Shared machinery for diffusion samplers (solver/oc.py:22)."""
 
+    eubo_available = True  # PIS/DDS disable (solver/oc.py:356,435)
+
     def __init__(self, target: Target, prior, sde, generative_ctrl,
                  loss_cls, loss_kwargs: dict | None = None,
                  train_ts=None, eval_ts=None, clip_target: float | None = None,
@@ -196,6 +198,8 @@ class PIS(TrainableDiff):
     """Path integral sampler (solver/oc.py:349): Dirac prior, reference =
     the SDE marginal of the prior point."""
 
+    eubo_available = False
+
     def setup_models(self):
         if not isinstance(self.prior, Delta):
             raise ValueError("Can only be used with dirac delta prior.")
@@ -219,6 +223,8 @@ class PIS(TrainableDiff):
 class DDS(TrainableDiff):
     """Denoising diffusion sampler (solver/oc.py:426): the Gaussian prior is
     the reference distribution."""
+
+    eubo_available = False
 
     def setup_models(self):
         if not isinstance(self.prior, Gauss):

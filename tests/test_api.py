@@ -1,0 +1,157 @@
+"""Public-API tests: the six-axis make_model factory, the dataset/reference
+pipeline (mcmc_sample -> fit_gmm -> change_reference_type), tempering-path
+SMC/RE baselines, and the TrainableWrapper benchmark protocol with EUBO."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sde_sampler_lrds_tpu.api import (
+    fit_gmm,
+    make_model,
+    make_target,
+    make_target_details,
+    mcmc_sample,
+    run_re_sampler,
+    run_smc_sampler,
+)
+from sde_sampler_lrds_tpu.solvers.wrappers import TrainableWrapper
+from sde_sampler_lrds_tpu.targets import TwoModes
+
+TRAIN = {"train_steps": 12, "train_batch_size": 64, "eval_batch_size": 256}
+TARGET = make_target_details("two_modes", dim=2)
+
+CONFIGS = [
+    ("vp-ref-em-lv", dict(solver_type="vp-ref", ref_type="default", loss_type="lv",
+                          integrator_type="em", model_type="base_zero_init",
+                          time_type="uniform")),
+    ("vp-ref-ei-snr", dict(solver_type="vp-ref", ref_type="default", loss_type="lv",
+                           integrator_type="ei", model_type="base_zero_init",
+                           time_type="snr")),
+    ("vp-ref-ddpm-snr", dict(solver_type="vp-ref", ref_type="default", loss_type="kl",
+                             integrator_type="ddpm_like", model_type="base_zero_init",
+                             time_type="snr")),
+    ("pbm-ref-ei-snr", dict(solver_type="pbm-ref", ref_type="default", loss_type="lv",
+                            integrator_type="ei", model_type="base_zero_init",
+                            time_type="snr")),
+    ("pis-orig", dict(solver_type="pis_orig", ref_type="default", loss_type="lv",
+                      integrator_type="em", model_type="target_informed_zero_init",
+                      time_type="uniform")),
+    ("dds-orig", dict(solver_type="dds_orig", ref_type="default", loss_type="lv",
+                      integrator_type="em", model_type="target_informed_zero_init",
+                      time_type="uniform")),
+    ("dis-orig", dict(solver_type="dis_orig", ref_type="default", loss_type="lv",
+                      integrator_type="em", model_type="target_informed_lerp_tempering",
+                      time_type="uniform")),
+    ("cmcd", dict(solver_type="cmcd", ref_type="default", loss_type="lv",
+                  integrator_type="em", model_type="base_zero_init",
+                  time_type="uniform")),
+    ("vp-ref-langevin", dict(solver_type="vp-ref", ref_type="default", loss_type="kl",
+                             integrator_type="em",
+                             model_type="target_informed_langevin_init",
+                             time_type="uniform")),
+]
+
+
+@pytest.mark.parametrize("name,axes", CONFIGS, ids=[c[0] for c in CONFIGS])
+def test_make_model_trains(name, axes):
+    model = make_model(**axes, solver_details={"sigma": 1.0}, target_details=TARGET,
+                       training_details=TRAIN, n_steps=8,
+                       compute_samples_based_metrics=False)
+    model.setup()
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        m = model.step(sub)
+    assert np.isfinite(float(m["train/loss"]))
+    res = model.evaluate(jax.random.PRNGKey(1), return_traj=False)
+    assert np.isfinite(res.metrics["eval/elbo"])
+
+
+def test_make_model_validation_rules():
+    kw = dict(solver_details={"sigma": 1.0}, target_details=TARGET,
+              training_details=TRAIN, n_steps=4)
+    with pytest.raises(ValueError):  # EI with orig solvers
+        make_model("dds_orig", "default", "kl", "ei",
+                   "target_informed_zero_init", "uniform", **kw)
+    with pytest.raises(ValueError):  # PBM with uniform grid
+        make_model("pbm-ref", "default", "kl", "em", "base_zero_init", "uniform", **kw)
+    with pytest.raises(ValueError):  # DDPM with uniform grid
+        make_model("vp-ref", "default", "kl", "ddpm_like", "base_zero_init", "uniform", **kw)
+    with pytest.raises(ValueError):  # non-ref solver with a gmm reference
+        make_model("pis_orig", "gmm", "kl", "em",
+                   "target_informed_zero_init", "uniform", **kw)
+    with pytest.raises(ValueError):  # langevin init with EI
+        make_model("vp-ref", "default", "kl", "ei",
+                   "target_informed_langevin_init", "snr", **kw)
+
+
+def test_full_lrds_pipeline_gmm_reference():
+    """The LRDS flagship pipeline: MALA dataset -> sklearn GMM fit -> RDS with
+    the fitted GMM reference -> short train -> wrapper eval with EUBO."""
+    target = TwoModes(dim=2, n_reference_samples=16384)
+    key = jax.random.PRNGKey(0)
+    k_mcmc, k_run = jax.random.split(key)
+    data = mcmc_sample(k_mcmc, target, x_init=target.loc, step_size=1e-2,
+                       n_chains_per_mode=8, dataset_length=8000, n_warmup_steps=64)
+    assert data.shape == (8000, 2)
+    # dataset covers both modes
+    mw = float(target.compute_mode_weight(data))
+    assert 40.0 < mw < 90.0
+    w, m, v = fit_gmm(2, data, em_type="diag")
+    assert w.shape == (2,) and m.shape == (2, 2) and v.shape == (2, 2)
+    model = make_model(
+        "vp-ref", "gmm", "lv", "ei", "base_zero_init", "snr",
+        solver_details={"sigma": 1.0, "weights_ref": w, "means_ref": m,
+                        "variances_ref": v},
+        target_details=make_target_details("two_modes", dim=2),
+        training_details={"train_steps": 48, "train_batch_size": 256,
+                          "eval_batch_size": 1024},
+        n_steps=24, compute_samples_based_metrics=False)
+    wrapper = TrainableWrapper(model)
+    results = wrapper.run(k_run)
+    assert "eval/eubo" in results.metrics
+    assert "eval/log_norm_const_is_f" in results.metrics
+    assert np.isfinite(results.metrics["eval/eubo"])
+    # with a fitted 2-component reference the sampler covers both modes fast
+    mw = float(target.compute_mode_weight(results.samples))
+    assert 45.0 < mw < 90.0, f"mode weight {mw}"
+    assert abs(results.log_norm_const_preds["log_norm_const_is"]) < 0.5
+
+
+def test_fit_gmm_full_covariance():
+    key = jax.random.PRNGKey(2)
+    data = jax.random.normal(key, (2000, 3)) * jnp.asarray([1.0, 2.0, 0.5])
+    w, m, v = fit_gmm(2, data, em_type="full")
+    assert v.shape == (2, 3, 3)
+
+
+def test_tempering_smc_and_re_baselines():
+    target = TwoModes(dim=2, n_reference_samples=16384)
+    mean = jnp.zeros(2)
+    var = 4.0 * jnp.ones(2)
+    s1 = run_smc_sampler(jax.random.PRNGKey(3), mean, var, n_steps=16,
+                         step_size=0.05, n_particles=512, n_mcmc_steps=4,
+                         n_warmup_mcmc_steps=8,
+                         target_log_prob=target.unnorm_log_prob,
+                         target_score=target.score)
+    assert s1.shape == (512, 2)
+    mw = float(target.compute_mode_weight(s1))
+    assert 40.0 < mw < 95.0
+    s2 = run_re_sampler(jax.random.PRNGKey(4), mean, var, n_steps=8,
+                        step_size=0.05, batch_size=256, swap_frequency=4,
+                        n_mcmc_steps=64, n_warmup_mcmc_steps=64,
+                        target_log_prob=target.unnorm_log_prob,
+                        target_score=target.score)
+    assert s2.shape == (256, 2)
+
+
+def test_make_target_registry():
+    for name in ("two_modes", "bracket_two_modes", "two_modes_full", "many_modes",
+                 "rings", "checkerboard", "ionosphere"):
+        details = make_target_details(name) if name != "ionosphere" \
+            else make_target_details("ionosphere")
+        t = make_target(details)
+        assert t.dim >= 2
+    pf = make_target(make_target_details("phi_four", dim=16))
+    assert pf.dim == 16
