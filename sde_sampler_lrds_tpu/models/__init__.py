@@ -6,6 +6,8 @@ from .reparam import (
     ScoreCtrl,
     remove_reference_ctrl,
 )
+from .mnist_unet import Unet
+from .mnist_ebm import MNISTNet
 from .potentials import (
     BetterPotentialCtrl,
     DRLWrapper,

@@ -22,3 +22,4 @@ from .checkerboard import Checkerboard
 from .rings import Rings
 from .phi_four import PhiFour
 from .logistic_regression import LogisticRegression
+from .nice import MixtureNice, Nice, NiceModel
