@@ -1,0 +1,328 @@
+"""Shared machinery for the benchmark experiment drivers.
+
+Re-design of the protocol shared by the reference's 13 experiments/*.py
+scripts (e.g. sample_two_modes_competing.py): build target → MCMC dataset →
+fit reference (gaussian / GMM / EBM) → make_model → TrainableWrapper.run →
+multi-seed eval metrics → pickle {config, results}. SMC/RE baselines run on
+the fitted-Gaussian tempering path with chunked sample-metrics.
+"""
+from __future__ import annotations
+
+import pickle
+import pprint
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sde_sampler_lrds_tpu.api import (  # noqa: F401 (re-exported for drivers)
+    build_ebm,
+    fit_gmm,
+    make_model,
+    make_target,
+    make_target_details,
+    mcmc_sample,
+    run_re_sampler,
+    run_smc_sampler,
+)
+from sde_sampler_lrds_tpu.eval.ks import compute_sliced_ks
+from sde_sampler_lrds_tpu.eval.metrics import get_metrics
+from sde_sampler_lrds_tpu.eval.mmd import mmd_median
+from sde_sampler_lrds_tpu.eval.sinkhorn import Sinkhorn
+from sde_sampler_lrds_tpu.solvers.wrappers import (
+    TrainableWrapper,
+    list_of_dict_2_dict_of_list,
+)
+
+VI_SOLVERS = ("pis_orig", "dds_orig", "dis_orig", "cmcd", "vp-ref", "pbm-ref")
+BASELINES = ("smc", "re")
+
+
+def build_dataset_and_gaussian(key, target, x_init, dataset_size: int,
+                               step_size: float = 1e-3):
+    """MALA dataset + fitted Gaussian moments with timers (the experiments'
+    standard preamble)."""
+    t0 = time.time()
+    dataset = mcmc_sample(key, target, x_init, step_size=step_size,
+                          dataset_length=dataset_size)
+    t_mcmc = time.time() - t0
+    t0 = time.time()
+    mean = dataset.mean(axis=0)
+    var = jnp.cov(dataset.T)
+    var_diag = dataset.var(axis=0)
+    t_ref = time.time() - t0
+    return dataset, mean, var, var_diag, {"mcmc": t_mcmc, "ref": t_ref}
+
+
+def sigma_from_moments(mean, var_diag, dim: int, terminal_t: float | None = None):
+    """σ_opt = sqrt((‖mean‖² + tr var)/d), / sqrt(T) for PIS
+    (sample_two_modes_competing.py:115-117)."""
+    import math
+
+    sigma = math.sqrt(float(jnp.sum(mean**2) + var_diag.sum()) / dim)
+    if terminal_t is not None:
+        sigma /= math.sqrt(terminal_t)
+    return sigma
+
+
+def run_vi(key, solver_type, target_details, solver_details, training_details,
+           n_sampling_seeds: int = 16, ref_type: str = "default",
+           loss_type: str = "lv", integrator_type: str = "em",
+           model_type: str = "target_informed_zero_init", time_type: str = "uniform",
+           n_steps: int = 100, **make_model_kwargs):
+    """Train a VI sampler and evaluate over n_sampling_seeds eval passes."""
+    model = make_model(solver_type=solver_type, ref_type=ref_type,
+                       loss_type=loss_type, integrator_type=integrator_type,
+                       model_type=model_type, time_type=time_type,
+                       solver_details=solver_details,
+                       target_details=target_details,
+                       training_details=training_details, n_steps=n_steps,
+                       **make_model_kwargs)
+    wrapper = TrainableWrapper(model)
+    key, k_run = jax.random.split(key)
+    results = wrapper.run(k_run)
+    all_metrics = [results.metrics]
+    for s in range(n_sampling_seeds - 1):
+        key, k_eval = jax.random.split(key)
+        res = wrapper.evaluate(k_eval)
+        all_metrics.append(res.metrics)
+    return model, list_of_dict_2_dict_of_list(all_metrics)
+
+
+def run_sampling_baseline(key, kind, target, mean, var, eval_batch_size: int,
+                          n_sampling_seeds: int = 16, smc_kwargs=None, re_kwargs=None):
+    """SMC / RE tempering-path baselines with chunked sample metrics
+    (sample_two_modes_competing.py:148-209)."""
+    sinkhorn = Sinkhorn()
+    smc_kwargs = {**{"n_steps": 128, "step_size": 1e-4, "n_particles": 1024,
+                     "n_mcmc_steps": 32, "n_warmup_mcmc_steps": 1024},
+                  **(smc_kwargs or {})}
+    re_kwargs = {**{"n_steps": 128, "step_size": 1e-4, "batch_size": 1024,
+                    "swap_frequency": 8, "n_mcmc_steps": 32,
+                    "n_warmup_mcmc_steps": 4096}, **(re_kwargs or {})}
+    if kind == "smc":
+        per_run = smc_kwargs["n_particles"]
+    else:
+        per_run = re_kwargs["batch_size"]
+    n_runs = max(int((eval_batch_size * n_sampling_seeds) / per_run), 1)
+    all_metrics, sampling_time = [], 0.0
+    collected = []
+    for r in range(n_runs):
+        key, k_run, k_gt = jax.random.split(key, 3)
+        t0 = time.time()
+        if kind == "smc":
+            samples = run_smc_sampler(k_run, mean, var,
+                                      target_log_prob=target.unnorm_log_prob,
+                                      target_score=target.score, **smc_kwargs)
+        else:
+            samples = run_re_sampler(k_run, mean, var,
+                                     target_log_prob=target.unnorm_log_prob,
+                                     target_score=target.score, **re_kwargs)
+        sampling_time += time.time() - t0
+        collected.append(samples.reshape(-1, target.dim))
+        pooled = jnp.concatenate(collected, axis=0)
+        while pooled.shape[0] >= eval_batch_size:
+            chunk, pooled = pooled[:eval_batch_size], pooled[eval_batch_size:]
+            gt = target.sample(k_gt, (chunk.shape[0],))
+            metrics = get_metrics(target, chunk, marginal_dims=[0, 1])
+            metrics["error/sinkhorn"] = float(sinkhorn(gt, chunk))
+            metrics["error/mmd"] = float(mmd_median(gt, chunk))
+            metrics["error/ks"] = float(compute_sliced_ks(gt, chunk))
+            all_metrics.append(metrics)
+        collected = [pooled] if pooled.shape[0] else []
+    out = list_of_dict_2_dict_of_list(all_metrics) if all_metrics else {}
+    out["eval/sample_time"] = sampling_time / max(n_sampling_seeds, 1)
+    return out
+
+
+def dump_results(path: str | Path, filename: str, config: dict, results: list):
+    """Pickle {config, results} like every reference driver."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    clean_cfg = {k: v for k, v in config.items() if not callable(v)}
+    with open(path / filename, "wb") as f:
+        pickle.dump({"config": clean_cfg, "results": _to_host(results)}, f)
+
+
+def _to_host(obj):
+    if isinstance(obj, dict):
+        return {k: _to_host(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_to_host(v) for v in obj)
+    if isinstance(obj, jnp.ndarray):
+        return np.asarray(obj)
+    return obj
+
+
+def announce(config: dict):
+    pprint.pprint({k: v for k, v in config.items() if not callable(v)})
+
+
+# ---------------------------------------------------------------------------
+# generic driver templates
+# ---------------------------------------------------------------------------
+
+def add_common_args(parser, dataset_size=40000, train_steps=4096,
+                    train_batch=1024, eval_batch=8192):
+    parser.add_argument("--results_path", type=str, default="results")
+    parser.add_argument("--smc_n_steps", type=int, default=128)
+    parser.add_argument("--smc_n_particles", type=int, default=1024)
+    parser.add_argument("--smc_n_mcmc_steps", type=int, default=32)
+    parser.add_argument("--smc_n_warmup_mcmc_steps", type=int, default=1024)
+    parser.add_argument("--re_n_steps", type=int, default=128)
+    parser.add_argument("--re_batch_size", type=int, default=1024)
+    parser.add_argument("--re_n_mcmc_steps", type=int, default=32)
+    parser.add_argument("--re_n_warmup_mcmc_steps", type=int, default=4096)
+    parser.add_argument("--re_swap_frequency", type=int, default=8)
+    parser.add_argument("--train_steps", type=int, default=train_steps)
+    parser.add_argument("--train_batch_size", type=int, default=train_batch)
+    parser.add_argument("--eval_batch_size", type=int, default=eval_batch)
+    parser.add_argument("--dataset_size", type=int, default=dataset_size)
+    parser.add_argument("--terminal_t_pis", type=float, default=5.0)
+    parser.add_argument("--n_sampling_seeds", type=int, default=16)
+    parser.add_argument("--n_steps", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+def competing_run(args, target, target_details, x_init, filename_stub,
+                  extra_params=None, model_type="target_informed_zero_init",
+                  mcmc_step_size=1e-3):
+    """One (target-config, solver) cell of a *_competing.py driver."""
+    key = jax.random.PRNGKey(args.seed)
+    key, k_data, k_vi, k_base = jax.random.split(key, 4)
+    dataset, mean, var, var_diag, times = build_dataset_and_gaussian(
+        k_data, target, x_init, args.dataset_size, step_size=mcmc_step_size)
+    if args.solver_type == "cmcd":
+        solver_details = {"mean": mean, "var": var}
+    else:
+        sigma = sigma_from_moments(
+            mean, var_diag, target.dim,
+            terminal_t=args.terminal_t_pis if args.solver_type == "pis_orig" else None)
+        solver_details = {"sigma": sigma}
+    if args.solver_type in VI_SOLVERS:
+        _, all_metrics = run_vi(
+            k_vi, args.solver_type, target_details, solver_details,
+            {"train_steps": args.train_steps,
+             "train_batch_size": args.train_batch_size,
+             "eval_batch_size": args.eval_batch_size},
+            n_sampling_seeds=args.n_sampling_seeds,
+            ref_type="gaussian" if args.solver_type == "cmcd" else "default",
+            model_type=model_type,
+            n_steps=args.n_steps,
+            force_vp20=args.solver_type == "dis_orig")
+    else:
+        all_metrics = run_sampling_baseline(
+            k_base, args.solver_type, target, mean, var, args.eval_batch_size,
+            n_sampling_seeds=args.n_sampling_seeds,
+            smc_kwargs={"n_steps": args.smc_n_steps,
+                        "n_particles": args.smc_n_particles,
+                        "n_mcmc_steps": args.smc_n_mcmc_steps,
+                        "n_warmup_mcmc_steps": args.smc_n_warmup_mcmc_steps,
+                        "step_size": 1e-4},
+            re_kwargs={"n_steps": args.re_n_steps,
+                       "batch_size": args.re_batch_size,
+                       "swap_frequency": args.re_swap_frequency,
+                       "n_mcmc_steps": args.re_n_mcmc_steps,
+                       "n_warmup_mcmc_steps": args.re_n_warmup_mcmc_steps,
+                       "step_size": 1e-4})
+    return {"metrics": all_metrics, "times": times,
+            "params": extra_params or {},
+            "gauss_params": {"mean": np.asarray(mean), "var": np.asarray(var)}}
+
+
+def lrds_run(args, target, target_details, x_init, ref_type, extra_params=None,
+             solver_type="vp-ref", integrator_type="ei", time_type="snr",
+             model_type="base_zero_init", n_gmm_components=None,
+             em_type="diag", net=None, mcmc_step_size=1e-3):
+    """One cell of a *_mcmc_gmm.py / *_ebm_mcmc.py LRDS driver: fit the
+    requested reference from the MCMC dataset and train RDS on it."""
+    key = jax.random.PRNGKey(args.seed)
+    key, k_data, k_vi = jax.random.split(key, 3)
+    dataset, mean, var, var_diag, times = build_dataset_and_gaussian(
+        k_data, target, x_init, args.dataset_size, step_size=mcmc_step_size)
+    solver_details = {"sigma": 1.0}
+    t0 = time.time()
+    if ref_type == "gaussian":
+        solver_details.update(mean_ref=mean,
+                              var_ref=var if em_type == "full" else var_diag)
+    elif ref_type == "gmm":
+        w, m, v = fit_gmm(n_gmm_components or 2, dataset, em_type=em_type)
+        solver_details.update(weights_ref=w, means_ref=m, variances_ref=v)
+    elif ref_type == "nn":
+        solver_details.update(net=net)
+    times["ref_fit"] = time.time() - t0
+    _, all_metrics = run_vi(
+        k_vi, solver_type, target_details, solver_details,
+        {"train_steps": args.train_steps,
+         "train_batch_size": args.train_batch_size,
+         "eval_batch_size": args.eval_batch_size},
+        n_sampling_seeds=args.n_sampling_seeds, ref_type=ref_type,
+        integrator_type=integrator_type, time_type=time_type,
+        model_type=model_type, n_steps=args.n_steps)
+    return {"metrics": all_metrics, "times": times, "params": extra_params or {},
+            "gauss_params": {"mean": np.asarray(mean), "var": np.asarray(var)}}
+
+
+def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
+                        em_type="diag", ebm_type="mle_re", n_levels=32,
+                        ebm_epochs=2, ebm_batch_size=64, step_size=1e-2,
+                        n_mcmc_steps=8, sde=None):
+    """Fit a GMM on the dataset, tilt it with a neural energy, and train the
+    EBM by RE-based contrastive MLE (the *_ebm_mcmc.py reference pipeline:
+    fit_gmm -> GMMTiltedPotential -> MaximumLikelihoodEBM.train). Returns the
+    (score, unnorm_log_prob) callable pair for change_reference_type('nn')."""
+    from sde_sampler_lrds_tpu.models import FourierMLP, GMMTiltedPotential
+    from sde_sampler_lrds_tpu.sde import VP
+    from sde_sampler_lrds_tpu.targets import Gauss
+
+    dim = dataset.shape[-1]
+    sde = sde or VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    w, m, v = fit_gmm(n_gmm_components, dataset, em_type=em_type)
+    pot = GMMTiltedPotential(
+        base_model=FourierMLP(dim=dim, zero_init=True), sde=sde,
+        weights=w, means=m, variances=v, tilt_type="dot")
+    prior = Gauss(dim=dim, loc=mean, scale=jnp.sqrt(var_diag))
+    sampler = {"mle_re": "replica_exchange", "mle_smc": "smc",
+               "mle_cd": "cd"}.get(ebm_type, "replica_exchange")
+    trainer = build_ebm("mle", sde, prior, pot, sampler_type=sampler,
+                        step_sizes_per_noise=step_size, n_steps=n_levels)
+    t0 = time.time()
+    trainer.train(key, jnp.asarray(dataset), batch_size=ebm_batch_size,
+                  n_epochs=ebm_epochs, initial_n_warmup_mcmc_steps=64,
+                  n_mcmc_steps=n_mcmc_steps)
+    t_train = time.time() - t0
+    params = trainer.ema_params
+    net_score = lambda t, x: pot.apply(params, t, x)
+    net_log_prob = lambda t, x: pot.apply(params, t, x, method="unnorm_log_prob")
+    return (net_score, net_log_prob), {"ebm_train": t_train}
+
+
+def ebm_run(args, target, target_details, x_init, extra_params=None,
+            solver_type="vp-ref", integrator_type="ei", time_type="snr",
+            n_gmm_components=2, em_type="diag", mcmc_step_size=1e-3,
+            ebm_kwargs=None):
+    """One cell of a *_ebm_mcmc.py driver: NN (tilted-EBM) reference."""
+    key = jax.random.PRNGKey(args.seed)
+    key, k_data, k_ebm, k_vi = jax.random.split(key, 4)
+    dataset, mean, var, var_diag, times = build_dataset_and_gaussian(
+        k_data, target, x_init, args.dataset_size, step_size=mcmc_step_size)
+    net, ebm_times = train_ebm_reference(
+        k_ebm, dataset, mean, var_diag, n_gmm_components=n_gmm_components,
+        em_type=em_type, **(ebm_kwargs or {}))
+    times.update(ebm_times)
+    _, all_metrics = run_vi(
+        k_vi, solver_type, target_details, {"sigma": 1.0, "net": net},
+        {"train_steps": args.train_steps,
+         "train_batch_size": args.train_batch_size,
+         "eval_batch_size": args.eval_batch_size},
+        n_sampling_seeds=args.n_sampling_seeds, ref_type="nn",
+        integrator_type=integrator_type, time_type=time_type,
+        model_type="base_zero_init", n_steps=args.n_steps)
+    return {"metrics": all_metrics, "times": times, "params": extra_params or {},
+            "gauss_params": {"mean": np.asarray(mean), "var": np.asarray(var)}}

@@ -1,0 +1,159 @@
+"""CLI training entry point.
+
+Re-design of the reference's hydra CLI (scripts/main.py:24-121) as a plain
+argparse surface over the same configuration axes; runs a full
+train/eval/checkpoint cycle, streams metrics.jsonl, writes plots, and exits
+non-zero on failure after recording the error — the reference's run-level
+failure handling (scripts/main.py:113-117).
+
+Solver presets mirror the conf/solver names:
+  pis, dds, dis, cmcd, vp_rds, pbm_rds
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+SOLVER_PRESETS = {
+    "pis": "pis_orig",
+    "dds": "dds_orig",
+    "dis": "dis_orig",
+    "cmcd": "cmcd",
+    "vp_rds": "vp-ref",
+    "pbm_rds": "pbm-ref",
+}
+
+MODEL_PRESETS = {
+    "basic": "base_zero_init",
+    "basic_unet": "unet_zero_init",
+    "score": "target_informed_zero_init",
+    "score_unet": "target_informed_unet_zero_init",
+    "langevin_init": "target_informed_langevin_init",
+    "lerp": "target_informed_lerp_tempering",
+}
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--solver", default="dis", choices=sorted(SOLVER_PRESETS))
+    p.add_argument("--target", default="two_modes")
+    p.add_argument("--dim", type=int, default=None)
+    p.add_argument("--model", default="basic", choices=sorted(MODEL_PRESETS))
+    p.add_argument("--loss-method", default="lv", choices=["kl", "lv"])
+    p.add_argument("--integrator", default="em", choices=["em", "ei", "ddpm_like"])
+    p.add_argument("--time-type", default="uniform", choices=["uniform", "snr"])
+    p.add_argument("--ref-type", default="default",
+                   choices=["default", "gaussian", "gmm"])
+    p.add_argument("--gmm-components", type=int, default=2)
+    p.add_argument("--sigma", type=float, default=1.0)
+    p.add_argument("--steps", type=int, default=100, help="SDE steps K")
+    p.add_argument("--train-steps", type=int, default=10_000)
+    p.add_argument("--train-batch-size", type=int, default=512)
+    p.add_argument("--eval-batch-size", type=int, default=6000)
+    p.add_argument("--eval-interval", type=int, default=500)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--grad-clip", type=float, default=None)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--out-dir", default="logs/run")
+    p.add_argument("--plots", action="store_true", help="write marginal plots")
+    p.add_argument("--resume", action="store_true", help="resume from latest ckpt")
+    p.add_argument("--ckpt-interval", type=int, default=None)
+    p.add_argument("--wandb", action="store_true", help="log to wandb if available")
+    p.add_argument("--device", default="default", choices=["default", "cpu", "tpu"],
+                   help="cfg.device analogue; 'cpu' forces the host backend")
+    return p
+
+
+def main():
+    args = build_parser().parse_args()
+    logging.basicConfig(level=logging.INFO)
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "config.json").write_text(json.dumps(vars(args), indent=2))
+
+    import jax
+
+    if args.device == "cpu":
+        # NOTE: the axon sitecustomize pins JAX_PLATFORMS=axon; only the
+        # config update reliably forces the host backend.
+        jax.config.update("jax_platforms", "cpu")
+
+    from sde_sampler_lrds_tpu.api import (fit_gmm, make_model, make_target_details,
+                                          mcmc_sample)
+    from sde_sampler_lrds_tpu.eval.plots import get_plots, save_fig
+    from sde_sampler_lrds_tpu.utils.wandb import maybe_init_wandb, wandb_log
+
+    try:
+        target_kwargs = {} if args.dim is None else {"dim": args.dim}
+        target_details = make_target_details(args.target, **target_kwargs)
+        solver_details = {"sigma": args.sigma}
+        solver_type = SOLVER_PRESETS[args.solver]
+        training_details = {
+            "train_steps": args.train_steps,
+            "train_batch_size": args.train_batch_size,
+            "eval_batch_size": args.eval_batch_size,
+            "eval_interval": args.eval_interval,
+            "log_interval": args.log_interval,
+            "grad_clip": args.grad_clip,
+            "seed": args.seed,
+        }
+        # Fitted references need a dataset first (the LRDS pipeline).
+        if args.ref_type != "default":
+            from sde_sampler_lrds_tpu.api import make_target
+
+            tgt = make_target(target_details)
+            key = jax.random.PRNGKey(args.seed)
+            x_init = getattr(tgt, "loc", None)
+            if x_init is None:
+                import jax.numpy as jnp
+
+                x_init = jnp.zeros((4, tgt.dim))
+            data = mcmc_sample(key, tgt, x_init, dataset_length=20_000)
+            if args.ref_type == "gaussian":
+                solver_details.update(mean_ref=data.mean(0), var_ref=data.var(0))
+            else:
+                w, m, v = fit_gmm(args.gmm_components, data)
+                solver_details.update(weights_ref=w, means_ref=m, variances_ref=v)
+
+        solver = make_model(
+            solver_type=solver_type, ref_type=args.ref_type,
+            loss_type=args.loss_method, integrator_type=args.integrator,
+            model_type=MODEL_PRESETS[args.model], time_type=args.time_type,
+            solver_details=solver_details, target_details=target_details,
+            training_details=training_details, n_steps=args.steps,
+            use_ema=args.use_ema, out_dir=out_dir)
+        solver.cfg.ckpt_interval = args.ckpt_interval
+        wandb_run = maybe_init_wandb(args.wandb, out_dir, vars(args))
+        solver.setup()
+        if args.resume and solver.load_checkpoint():
+            logging.info("resumed from step %d", int(solver.state.step))
+        metrics = solver.run()
+        if wandb_run is not None:
+            wandb_log(wandb_run, metrics, int(solver.state.step))
+        solver.store_checkpoint()
+        if args.plots:
+            key = jax.random.PRNGKey(args.seed + 17)
+            results = solver.evaluate(key)
+            plots = get_plots(solver.target, results.samples,
+                              weights=results.weights, ts=results.ts,
+                              xs=results.xs, marginal_dims=[0, 1])
+            for name, fig in plots.items():
+                save_fig(fig, out_dir / f"{name.replace('/', '_')}.png")
+        logging.info("final metrics: %s",
+                     {k: v for k, v in metrics.items() if isinstance(v, float)})
+    except Exception as e:
+        (out_dir / "error.txt").write_text(traceback.format_exc())
+        logging.error("run failed: %s", e)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -181,7 +181,11 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
                 raise ValueError("Only target_informed_zero_init model is supported.")
             if "dis" in solver_type and model_type == "base_zero_init":
                 raise ValueError("Model base_zero_init is not supported.")
-            if solver_type == "cmcd" and model_type != "base_zero_init":
+            # NOTE: mirrors benchmark_utils.py:122-123 verbatim — the check
+            # fires ON base_zero_init (despite its message), so the competing
+            # drivers run CMCD with the target-informed model; pass
+            # force_base_zero_init=True for the conf/solver/cmcd.yaml default.
+            if solver_type == "cmcd" and model_type == "base_zero_init":
                 raise ValueError("Only base_zero_init is supported for CMCD.")
         if time_type != "uniform":
             raise ValueError("Only uniform time discretisation is supported for orig/cmcd models.")
@@ -214,11 +218,21 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
     dim = target.dim
     sigma = solver_details.get("sigma", 1.0)
 
+    optim_details = dict(optim_details or {})
+    lr = optim_details.get("lr", 3e-4)
+    lr_schedule = None
+    if "lr_scheduler" in optim_details:
+        from .solvers.schedulers import make_lr_schedule
+
+        sched_cfg = dict(optim_details["lr_scheduler"])
+        lr_schedule = make_lr_schedule(sched_cfg.pop("name"), lr,
+                                       training_details["train_steps"], **sched_cfg)
     cfg = TrainConfig(
         train_steps=training_details["train_steps"],
         train_batch_size=training_details["train_batch_size"],
         eval_batch_size=training_details["eval_batch_size"],
-        lr=(optim_details or {}).get("lr", 3e-4),
+        lr=lr,
+        lr_schedule=lr_schedule,
         use_ema=use_ema,
         eval_interval=training_details.get("eval_interval", 10**9),
         log_interval=training_details.get("log_interval", 50),

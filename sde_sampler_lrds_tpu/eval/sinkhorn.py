@@ -37,7 +37,8 @@ class Sinkhorn:
 
     def __init__(self, p: int = 2, eps: float = 1e-3, max_iters: int = 100,
                  stop_thresh: float = 1e-5, n_max: int | None = None,
-                 block_size: int = 512, **kwargs):
+                 block_size: int = 512, eps_annealing: bool = True,
+                 eps_start: float = 1.0, **kwargs):
         if not isinstance(p, int) or p <= 0:
             raise ValueError(f"p must be an integer greater than 0, got {p}")
         if eps <= 0:
@@ -48,8 +49,15 @@ class Sinkhorn:
         self.stop_thresh = stop_thresh
         self.n_max = n_max
         self.block_size = block_size
+        # ε-scaling: warm-start the duals through a geometric ε schedule.
+        # At ε=1e-3 in f32 the raw iteration collapses to alternating hard
+        # mins and stalls far from the optimum (the reference's pykeops
+        # version has the same failure mode); annealing converges to the
+        # true OT cost at the same per-iteration price.
+        self.eps_annealing = eps_annealing
+        self.eps_start = eps_start
 
-    def _blocked_lse(self, x, y, dual, transpose: bool):
+    def _blocked_lse(self, x, y, dual, eps, transpose: bool):
         """logsumexp_j[(-M_ij + dual_j)/eps] over blocks of rows.
 
         transpose=False reduces over y (per-x row); True reduces over x.
@@ -63,7 +71,7 @@ class Sinkhorn:
 
         def one_block(ab):
             m = _pairwise_m(ab, b, self.p)
-            return jax.scipy.special.logsumexp((-m + dual[None, :]) / self.eps, axis=1)
+            return jax.scipy.special.logsumexp((-m + dual[None, :]) / eps, axis=1)
 
         out = jax.lax.map(one_block, blocks).reshape(-1)
         return out[:n]
@@ -81,15 +89,28 @@ class Sinkhorn:
         u0 = jnp.zeros_like(w_x)
         v0 = self.eps * jnp.log(w_y)
 
+        if self.eps_annealing and self.eps_start > self.eps:
+            # geometric schedule eps_start -> eps over the first ~2/3 of the
+            # budget, then polish at the target eps
+            n_anneal = max(int(self.max_iters * 2 / 3), 1)
+            decay = (self.eps / self.eps_start) ** (1.0 / n_anneal)
+            eps_sched = jnp.maximum(
+                self.eps_start * decay ** jnp.arange(self.max_iters), self.eps)
+        else:
+            eps_sched = jnp.full((self.max_iters,), self.eps)
+
         def cond(state):
             _, _, err, it = state
             return (err > self.stop_thresh) & (it < self.max_iters)
 
         def body(state):
             u, v, _, it = state
-            u_new = self.eps * (log_a - self._blocked_lse(x, y, v, transpose=False))
-            v_new = self.eps * (log_b - self._blocked_lse(y, x, u_new, transpose=True))
+            eps = eps_sched[it]
+            u_new = eps * (log_a - self._blocked_lse(x, y, v, eps, transpose=False))
+            v_new = eps * (log_b - self._blocked_lse(x, y, u_new, eps, transpose=True))
             err = jnp.maximum(jnp.max(jnp.abs(u - u_new)), jnp.max(jnp.abs(v - v_new)))
+            # never stop while still annealing
+            err = jnp.where(eps > self.eps, jnp.inf, err)
             return u_new, v_new, err, it + 1
 
         u, v, _, _ = jax.lax.while_loop(cond, body, (u0, v0, jnp.inf, 0))

@@ -9,6 +9,12 @@ sitecustomize and pins JAX_PLATFORMS=axon; setting the env var is not enough
 (the plugin registration overrides it), so we update jax.config after import.
 """
 import os
+import sys
+from pathlib import Path
+
+# repo root on sys.path regardless of the invoking cwd (tests import
+# scripts.train_nice etc. as namespace packages)
+sys.path.insert(0, str(Path(__file__).parents[1]))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

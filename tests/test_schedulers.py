@@ -1,0 +1,100 @@
+"""Scheduler + profiling-hook tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sde_sampler_lrds_tpu.solvers.schedulers import (
+    CombinedScheduler,
+    MultiStepParams,
+    make_lr_schedule,
+    multi_step_lr,
+    pis_lr,
+    step_lr,
+)
+
+
+def test_step_lr():
+    s = step_lr(1e-3, step_size=10, gamma=0.5)
+    np.testing.assert_allclose(float(s(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(10)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(s(25)), 2.5e-4, rtol=1e-6)
+
+
+def test_multi_step_lr():
+    s = multi_step_lr(1.0, milestones=[5, 15], gamma=0.1)
+    assert float(s(0)) == 1.0
+    np.testing.assert_allclose(float(s(6)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(s(16)), 0.01, rtol=1e-6)
+
+
+def test_pis_lr_total_decay():
+    s = pis_lr(1.0, train_steps=1000, step_size=100, final_factor=0.02)
+    np.testing.assert_allclose(float(s(1000)), 0.02, rtol=1e-4)
+
+
+def test_make_lr_schedule_registry():
+    assert make_lr_schedule(None, 1e-3, 100) is None
+    for name in ("step", "multi_step", "pis"):
+        assert make_lr_schedule(name, 1e-3, 100) is not None
+
+
+class Dummy:
+    def __init__(self):
+        self.lr = 1.0
+        self.loss = type("L", (), {"sde_ctrl_noise": 0.4})()
+
+
+def test_multi_step_params_dotted():
+    obj = Dummy()
+    sched = MultiStepParams(obj, milestones=[2, 4],
+                            gammas={"lr": 0.1, "loss.sde_ctrl_noise": 0.5})
+    for _ in range(2):
+        sched.step()
+    np.testing.assert_allclose(obj.lr, 0.1, rtol=1e-6)
+    np.testing.assert_allclose(obj.loss.sde_ctrl_noise, 0.2, rtol=1e-6)
+    for _ in range(2):
+        sched.step()
+    np.testing.assert_allclose(obj.lr, 0.01, rtol=1e-6)
+    # state-dict round trip restores the schedule position
+    state = sched.state_dict()
+    obj2 = Dummy()
+    sched2 = MultiStepParams(obj2, milestones=[2, 4], gammas={"lr": 0.1})
+    sched2.load_state_dict(state)
+    np.testing.assert_allclose(obj2.lr, 0.01, rtol=1e-6)
+
+
+def test_combined_scheduler():
+    obj = Dummy()
+    c = CombinedScheduler([MultiStepParams(obj, [1], {"lr": 0.5})])
+    c.step()
+    np.testing.assert_allclose(obj.lr, 0.5, rtol=1e-6)
+    assert "lr" in c.get()
+
+
+def test_lr_schedule_in_train_step():
+    """An optax schedule wired through TrainConfig actually decays the lr."""
+    from sde_sampler_lrds_tpu.losses import EMReferenceSDELoss
+    from sde_sampler_lrds_tpu.models import ClippedCtrl, FourierMLP
+    from sde_sampler_lrds_tpu.sde import VP, get_timesteps
+    from sde_sampler_lrds_tpu.solvers import RDS
+    from sde_sampler_lrds_tpu.solvers.base import TrainConfig
+    from sde_sampler_lrds_tpu.targets import Gauss, IsotropicGauss
+
+    target = Gauss(dim=2, loc=0.5, scale=1.0, n_reference_samples=1000)
+    cfg = TrainConfig(train_steps=10, train_batch_size=32, eval_batch_size=64,
+                      lr=1e-2, lr_schedule=step_lr(1e-2, step_size=2, gamma=0.1))
+    solver = RDS(target, IsotropicGauss(dim=2), VP(),
+                 ClippedCtrl(base_model=FourierMLP(dim=2, channels=16, zero_init=True),
+                             clip_model=1e4),
+                 EMReferenceSDELoss, {"method": "kl"},
+                 train_ts=get_timesteps(0.0, 1.0, steps=4), cfg=cfg)
+    solver.setup()
+    m = solver.step(jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["train/loss"]))
+
+
+def test_compiled_cost():
+    from sde_sampler_lrds_tpu.utils.profiling import compiled_cost
+
+    stats = compiled_cost(lambda x: (x @ x).sum(), jnp.ones((64, 64)))
+    assert stats["flops"] > 0 or np.isnan(stats["flops"])  # backend-dependent
