@@ -60,7 +60,7 @@ def load_digit_images(source: str = "auto", label: int | None = None):
 
 def train_nice(data: np.ndarray, coupling: int = 4, mid_dim: int = 1000,
                hidden: int = 5, mask_config: int = 1, latent: str = "logistic",
-               use_sigmoid: bool = True, alpha_sigmoid: float = 1e-5,
+               use_sigmoid: bool = False, alpha_sigmoid: float = 1e-5,
                batch_size: int = 256, n_steps: int = 5000, lr: float = 1e-3,
                seed: int = 0, center: bool = True, verbose: bool = True):
     """Maximum-likelihood training of a NiceModel; returns (meta, params, mean)."""

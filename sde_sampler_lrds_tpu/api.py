@@ -75,8 +75,8 @@ MODEL_TYPES = ("target_informed_zero_init", "target_informed_unet_zero_init",
                "target_informed_langevin_init", "target_informed_lerp_tempering",
                "base_zero_init", "unet_zero_init")
 TARGET_NAMES = ("two_modes", "bracket_two_modes", "two_modes_full", "many_modes",
-                "rings", "checkerboard", "phi_four", "cancer", "credit",
-                "ionosphere", "sonar")
+                "rings", "checkerboard", "phi_four", "mnist", "mnist_zero_one",
+                "cancer", "credit", "ionosphere", "sonar")
 
 
 def make_target_details(target_name: str, **kwargs) -> dict:
@@ -122,6 +122,14 @@ def make_target(target_details: dict):
                        dim=kw.pop("dim", 100), **kw)
     if name in ("cancer", "credit", "ionosphere", "sonar"):
         return LogisticRegression(data_type=name, **kw)
+    if name in ("mnist", "mnist_zero_one"):
+        # mixture of per-digit NICE flows; checkpoints are trained by
+        # scripts/train_nice.py --per-label (the reference's data/ lacks its
+        # own per-digit checkpoints too — SURVEY.md §2.6)
+        from .targets.nice import MixtureNice
+
+        digits = (0, 1) if name == "mnist_zero_one" else tuple(range(10))
+        return MixtureNice(digits=digits, **kw)
     raise NotImplementedError(f"Target {name} not supported.")
 
 

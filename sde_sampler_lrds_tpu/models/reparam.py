@@ -70,8 +70,10 @@ class CancelDriftCtrl(ScoreCtrl):
 
     def __call__(self, t, x):
         ctrl = self.clipped_base_model(t, x)
-        sde_diff = self.sde.diff(t, x)
-        sde_drift = self.sde.drift(t, x)
+        # column time so per-sample t broadcasts against (B, D) states
+        t_sde = jnp.reshape(t, (-1, 1)) if jnp.ndim(t) > 0 else t
+        sde_diff = self.sde.diff(t_sde, x)
+        sde_drift = self.sde.drift(t_sde, x)
         score = self.scale_score * self.clipped_target_score(t, x)
         if self.score_model is not None:
             score = score * self.clipped_score_model(t, x)
@@ -118,7 +120,8 @@ class LerpCtrl(ScoreCtrl):
             if self.hard_constrain:
                 sm = self.constrain(sm, t)
             score = score * sm
-        return ctrl + self.sde.diff(t, x) * score
+        t_sde = jnp.reshape(t, (-1, 1)) if jnp.ndim(t) > 0 else t
+        return ctrl + self.sde.diff(t_sde, x) * score
 
 
 def remove_reference_ctrl(ctrl: Callable, ref_score: Callable,
