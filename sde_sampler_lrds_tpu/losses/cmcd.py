@@ -33,14 +33,13 @@ class ControlledLangevinSDELoss(BaseOCLoss):
 
         def body(carry, st):
             x, rnd, k = carry
-            s, t = st
+            s, t, dt, sqdt = st
             k, k_db, k_ctrl = jax.random.split(k, 3)
-            dt = t - s
             u_s = ctrl(s, x)
             sde_ctrl = self._sde_ctrl(u_s, k_ctrl, s, x) if change_sde_ctrl else u_s
             u_s = self._rescale(u_s, sde_diff)
             sde_ctrl = self._rescale(sde_ctrl, sde_diff)
-            db = jnp.sqrt(dt) * jax.random.normal(k_db, x.shape)
+            db = sqdt * jax.random.normal(k_db, x.shape)
             drift_s = self.sde.drift(s, x)
             y = x + (drift_s + sde_ctrl * sde_diff) * dt + sde_diff * db
             drift_t = self.sde.drift(t, y)
@@ -55,7 +54,9 @@ class ControlledLangevinSDELoss(BaseOCLoss):
             rnd0 = jnp.zeros((x.shape[0],), x.dtype)
         else:
             rnd0 = initial_log_prob(x)
-        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), (ts[:-1], ts[1:]))
+        dt_arr = ts[1:] - ts[:-1]
+        xs_in = (ts[:-1], ts[1:], dt_arr, jnp.sqrt(dt_arr))
+        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), xs_in)
         rnd = rnd - terminal_unnorm_log_prob(x_T)
         xs = jnp.concatenate([x[None], traj], axis=0) if return_traj else None
         return x_T, rnd, xs
@@ -84,11 +85,10 @@ class ControlledLangevinSDELoss(BaseOCLoss):
 
         def body(carry, st):
             x, rnd, k = carry
-            s, t = st
+            s, t, dt, sqdt = st
             k, k_db = jax.random.split(k)
-            dt = t - s
             u_t = self._rescale(ctrl(t, x), sde_diff)
-            db = jnp.sqrt(dt) * jax.random.normal(k_db, x.shape)
+            db = sqdt * jax.random.normal(k_db, x.shape)
             drift_t = self.sde.drift(t, x)
             y = x + (drift_t - u_t * sde_diff) * dt + sde_diff * db
             # NOTE: drift at (t, y) — matching the reference's reverse pass
@@ -101,5 +101,7 @@ class ControlledLangevinSDELoss(BaseOCLoss):
             return (y, rnd, k), None
 
         rnd0 = -terminal_unnorm_log_prob(x)
-        (x_0, rnd, _), _ = self._scan(body, (x, rnd0, key), (times_s, times_t))
+        dt_arr = times_t - times_s
+        (x_0, rnd, _), _ = self._scan(
+            body, (x, rnd0, key), (times_s, times_t, dt_arr, jnp.sqrt(dt_arr)))
         return rnd + initial_log_prob(x_0)

@@ -24,16 +24,19 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
     def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
                  reference_log_prob, compute_ito_int: bool = False,
                  change_sde_ctrl: bool = False, return_traj: bool = False):
-        def body(carry, st):
+        # precomputed per-step schedule (see losses/rds.py TPU note)
+        s_arr, t_arr = ts[:-1], ts[1:]
+        beta = jnp.clip(self.alpha * jnp.sqrt(t_arr - s_arr), 0.0, 1.0)
+        alpha_k = jnp.sqrt(1.0 - beta**2)
+        xs_in = (s_arr, beta, alpha_k)
+
+        def body(carry, inp):
             x, rnd, k = carry
-            s, t = st
+            s, beta_k, alpha_k = inp
             k, k_eps, k_ctrl = jax.random.split(k, 3)
-            dt = t - s
             u = ctrl(s, x)
             sde_ctrl = self._sde_ctrl(u, k_ctrl, s, x) if change_sde_ctrl else u
             cost = self.running_cost(u, sde_ctrl, change_sde_ctrl)
-            beta_k = jnp.clip(self.alpha * jnp.sqrt(dt), 0.0, 1.0)
-            alpha_k = jnp.sqrt(1.0 - beta_k**2)
             rnd = rnd + beta_k**2 * self.sigma**2 * cost
             eps = jax.random.normal(k_eps, x.shape)
             x_new = x * alpha_k + beta_k**2 * self.sigma**2 * sde_ctrl \
@@ -43,7 +46,7 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
             return (x_new, rnd, k), (x_new if return_traj else None)
 
         rnd0 = jnp.zeros((x.shape[0],), x.dtype)
-        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), (ts[:-1], ts[1:]))
+        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), xs_in)
         rnd = rnd + reference_log_prob(x_T) - terminal_unnorm_log_prob(x_T)
         xs = jnp.concatenate([x[None], traj], axis=0) if return_traj else None
         return x_T, rnd, xs

@@ -10,6 +10,8 @@ approximates ∇log p_t (the full score, not the reference-relative one):
       process's own clock, optional inference control whose divergence enters
       via a Hutchinson/exact estimator, and the eval-only drift-divergence
       integral correction (oc.py:1219).
+
+All per-step schedule scalars are precomputed grid arrays (see losses/rds.py).
 """
 from __future__ import annotations
 
@@ -33,25 +35,28 @@ class DiscreteTimeReversalLossEI(BaseOCLoss):
                  initial_log_prob=None, train: bool = True,
                  change_sde_ctrl: bool = False, return_traj: bool = False):
         T = ts[-1]
+        s_arr, t_arr = ts[:-1], ts[1:]
+        omega = self.sde.omega(s_arr, t_arr)
+        a_x, a_s, a_z = self.sde.ei_step_coeffs(s_arr, t_arr)
+        xs_in = (T - s_arr, omega, jnp.sqrt(omega), a_x, a_s, a_z)
 
-        def body(carry, st):
+        def body(carry, inp):
             x, rnd, k = carry
-            s, t = st
+            tc, om, sq_om, a_x, a_s, a_z = inp
             k, k_z, k_ctrl = jax.random.split(k, 3)
-            u = ctrl(T - s, x)
-            sde_ctrl = self._sde_ctrl(u, k_ctrl, T - s, x) if change_sde_ctrl else u
-            omega = self.sde.omega(s, t)
-            rnd = rnd + omega * self.running_cost(u, sde_ctrl, change_sde_ctrl)
+            u = ctrl(tc, x)
+            sde_ctrl = self._sde_ctrl(u, k_ctrl, tc, x) if change_sde_ctrl else u
+            rnd = rnd + om * self.running_cost(u, sde_ctrl, change_sde_ctrl)
             z = jax.random.normal(k_z, x.shape)
-            x_new = self.sde.ei_integration_step(x, s, t, sde_ctrl, z)
-            rnd = rnd + jnp.sqrt(omega) * jnp.sum(u * z, axis=-1)
+            x_new = a_x * x + a_s * sde_ctrl + a_z * z
+            rnd = rnd + sq_om * jnp.sum(u * z, axis=-1)
             return (x_new, rnd, k), (x_new if return_traj else None)
 
         if train and self.method in ("kl", "kl_ito"):
             rnd0 = jnp.zeros((x.shape[0],), x.dtype)
         else:
             rnd0 = initial_log_prob(x)
-        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), (ts[:-1], ts[1:]))
+        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), xs_in)
         rnd = rnd - terminal_unnorm_log_prob(x_T)
         xs = jnp.concatenate([x[None], traj], axis=0) if return_traj else None
         return x_T, rnd, xs
@@ -78,22 +83,22 @@ class DiscreteTimeReversalLossEI(BaseOCLoss):
         times_s = jnp.flip(ts[:-1])
         times_t = jnp.flip(ts[1:])
         mean_f, var_f = self.sde.transition_params(T - times_t, T - times_s)
-        std_f = jnp.sqrt(var_f)
+        omega = self.sde.omega(times_s, times_t)
+        xs_in = (T - times_s, omega, jnp.sqrt(omega), mean_f, jnp.sqrt(var_f))
 
         def body(carry, inp):
             x, rnd, k = carry
-            s, t, mf, sf = inp
+            tc, om, sq_om, mf, sf = inp
             k, k_z = jax.random.split(k)
             z = jax.random.normal(k_z, x.shape)
             x = mf * x + sf * z
-            u = ctrl(T - s, x)
-            omega = self.sde.omega(s, t)
-            rnd = rnd - 0.5 * jnp.sum(u**2, axis=-1) * omega
-            rnd = rnd - jnp.sum(u * z, axis=-1) * jnp.sqrt(omega)
+            u = ctrl(tc, x)
+            rnd = rnd - 0.5 * jnp.sum(u**2, axis=-1) * om
+            rnd = rnd - jnp.sum(u * z, axis=-1) * sq_om
             return (x, rnd, k), None
 
         rnd0 = -terminal_unnorm_log_prob(x)
-        (x_0, rnd, _), _ = self._scan(body, (x, rnd0, key), (times_s, times_t, mean_f, std_f))
+        (x_0, rnd, _), _ = self._scan(body, (x, rnd0, key), xs_in)
         return rnd + initial_log_prob(x_0)
 
 
@@ -115,15 +120,24 @@ class TimeReversalLoss(BaseOCLoss):
                  compute_ito_int: bool = False, change_sde_ctrl: bool = False,
                  return_traj: bool = False, inference_ctrl: Callable | None = None):
         inference_ctrl = inference_ctrl if inference_ctrl is not None else self.inference_ctrl
+        s_arr, t_arr = ts[:-1], ts[1:]
+        dt_arr = t_arr - s_arr
+        linear = hasattr(self.sde, "drift_coeff_t")
+        if linear:
+            diff_arr = self.sde.diff_coeff_t(s_arr)
+            drift_k_arr = self.sde.drift_coeff_t(s_arr)
+            div_int_arr = self.sde.int_drift_coeff_t(s_arr, t_arr) * x.shape[-1]
+        else:
+            diff_arr = drift_k_arr = div_int_arr = jnp.zeros_like(dt_arr)
+        xs_in = (s_arr, dt_arr, jnp.sqrt(dt_arr), diff_arr, drift_k_arr, div_int_arr)
 
-        def body(carry, st):
+        def body(carry, inp):
             x, rnd, k = carry
-            s, t = st
+            s, dt, sqdt, diff, drift_k, div_int = inp
             k, k_db, k_ctrl, k_div = jax.random.split(k, 4)
-            dt = t - s
             u = ctrl(s, x)
             sde_ctrl = self._sde_ctrl(u, k_ctrl, s, x) if change_sde_ctrl else u
-            sde_diff = self.sde.diff(s, x)
+            sde_diff = diff if linear else self.sde.diff(s, x)
             if inference_ctrl is None:
                 gen_plus = gen_minus = u
             else:
@@ -139,9 +153,10 @@ class TimeReversalLoss(BaseOCLoss):
                 cost = 0.5 * jnp.sum(gen_plus**2, axis=-1)
             rnd = rnd + cost * dt
             if not train:
-                rnd = rnd - self.sde.drift_div_int(s, t, x)
-            db = jnp.sqrt(dt) * jax.random.normal(k_db, x.shape)
-            x_new = x + (self.sde.drift(s, x) + sde_diff * sde_ctrl) * dt + sde_diff * db
+                rnd = rnd - (div_int if linear else self.sde.drift_div_int(s, s + dt, x))
+            db = sqdt * jax.random.normal(k_db, x.shape)
+            drift = (drift_k * x) if linear else self.sde.drift(s, x)
+            x_new = x + (drift + sde_diff * sde_ctrl) * dt + sde_diff * db
             if compute_ito_int:
                 rnd = rnd + jnp.sum(gen_plus * db, axis=-1)
             return (x_new, rnd, k), (x_new if return_traj else None)
@@ -150,7 +165,7 @@ class TimeReversalLoss(BaseOCLoss):
             rnd0 = jnp.zeros((x.shape[0],), x.dtype)
         else:
             rnd0 = initial_log_prob(x)
-        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), (ts[:-1], ts[1:]))
+        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), xs_in)
         rnd = rnd - terminal_unnorm_log_prob(x_T)
         xs = jnp.concatenate([x[None], traj], axis=0) if return_traj else None
         return x_T, rnd, xs

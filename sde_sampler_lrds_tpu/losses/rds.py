@@ -10,6 +10,12 @@ the drift. RND accumulation per step:
 
 with terminal cost log p_ref(x_T) − log ρ(x_T). KL cost = ½‖u‖²; LV cost =
 u·(ū−½u) with ū detached. Each simulate is one lax.scan (remat'd body).
+
+TPU note: ALL per-step schedule scalars (ω, the affine kernel coefficients,
+dt, diffusion values) are precomputed as vectorized grid arrays and fed to
+the scan as inputs — scalar transcendentals inside a TPU scan body cost
+~0.26 ms per step, two orders of magnitude more than the batched math they
+feed at the reference's eval scale.
 """
 from __future__ import annotations
 
@@ -34,29 +40,38 @@ class EMReferenceSDELoss(BaseOCLoss):
                  reference_log_prob, change_sde_ctrl: bool = False,
                  return_traj: bool = False):
         T = ts[-1]
+        s_arr, t_arr = ts[:-1], ts[1:]
+        t_ctrl = T - s_arr
+        dt_arr = t_arr - s_arr
+        linear = hasattr(self.sde, "drift_coeff_t")
+        if linear:
+            xs_in = (t_ctrl, dt_arr, jnp.sqrt(dt_arr),
+                     self.sde.diff_coeff_t(t_ctrl), self.sde.drift_coeff_t(t_ctrl))
+        else:
+            zeros = jnp.zeros_like(dt_arr)
+            xs_in = (t_ctrl, dt_arr, jnp.sqrt(dt_arr), zeros, zeros)
 
-        def body(carry, st):
+        def body(carry, inp):
             x, rnd, k = carry
-            s, t = st
+            tc, dt, sqdt, diff, drift_k = inp
             k, k_db, k_ctrl = jax.random.split(k, 3)
-            dt = t - s
-            u = ctrl(T - s, x)
-            sde_ctrl = self._sde_ctrl(u, k_ctrl, T - s, x) if change_sde_ctrl else u
-            sde_diff = self.sde.diff(T - s, x)
+            u = ctrl(tc, x)
+            sde_ctrl = self._sde_ctrl(u, k_ctrl, tc, x) if change_sde_ctrl else u
+            sde_diff = diff if linear else self.sde.diff(tc, x)
             if not self.use_rescaling:
                 u = u * sde_diff
                 sde_ctrl = sde_ctrl * sde_diff
             rnd = rnd + self.running_cost(u, sde_ctrl, change_sde_ctrl) * dt
-            db = jnp.sqrt(dt) * jax.random.normal(k_db, x.shape)
-            drift = -self.sde.drift(T - s, x)
+            db = sqdt * jax.random.normal(k_db, x.shape)
+            drift = -(drift_k * x) if linear else -self.sde.drift(tc, x)
             if self.reference_ctrl is not None:
-                drift = drift + jnp.square(sde_diff) * self.reference_ctrl(T - s, x)
+                drift = drift + jnp.square(sde_diff) * self.reference_ctrl(tc, x)
             x_new = x + (drift + sde_diff * sde_ctrl) * dt + sde_diff * db
             rnd = rnd + jnp.sum(u * db, axis=-1)
             return (x_new, rnd, k), (x_new if return_traj else None)
 
         rnd0 = jnp.zeros((x.shape[0],), x.dtype)
-        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), (ts[:-1], ts[1:]))
+        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), xs_in)
         rnd = rnd + reference_log_prob(x_T) - terminal_unnorm_log_prob(x_T)
         xs = jnp.concatenate([x[None], traj], axis=0) if return_traj else None
         return x_T, rnd, xs
@@ -84,28 +99,30 @@ class EMReferenceSDELoss(BaseOCLoss):
         times_t = jnp.flip(ts[1:])
         mean_f, var_f = self.sde.transition_params(T - times_t, T - times_s)
         std_f = jnp.sqrt(var_f)
+        t_ctrl = T - times_s
+        dt_arr = times_t - times_s
+        diff_arr = self.sde.diff_coeff_t(t_ctrl)
+        drift_k_arr = self.sde.drift_coeff_t(t_ctrl)
 
         def body(carry, inp):
             x, rnd, k = carry
-            s, t, mf, sf = inp
+            tc, dt, mf, sf, diff, drift_k = inp
             k, k_z = jax.random.split(k)
             z = jax.random.normal(k_z, x.shape)
             x = mf * x + sf * z
-            u = ctrl(T - s, x)
-            ref = self.reference_ctrl(T - s, x)
-            sde_diff = self.sde.diff(T - s, x)
-            dt = t - s
+            u = ctrl(tc, x)
+            ref = self.reference_ctrl(tc, x)
             if self.use_rescaling:
-                u = u / sde_diff
+                u = u / diff
             cost = jnp.sum(u * (ref + 0.5 * u), axis=-1)
-            rnd = rnd - cost * dt * sde_diff**2
-            rnd = rnd + jnp.sum(u * x, axis=-1) * (
-                1.0 / mf - 1.0 + self.sde.drift_coeff_t(T - s) * dt)
+            rnd = rnd - cost * dt * diff**2
+            rnd = rnd + jnp.sum(u * x, axis=-1) * (1.0 / mf - 1.0 + drift_k * dt)
             rnd = rnd - jnp.sum(u * z, axis=-1) * (sf / mf)
             return (x, rnd, k), None
 
         rnd0 = reference_log_prob(x) - terminal_unnorm_log_prob(x)
-        (_, rnd, _), _ = self._scan(body, (x, rnd0, key), (times_s, times_t, mean_f, std_f))
+        (_, rnd, _), _ = self._scan(
+            body, (x, rnd0, key), (t_ctrl, dt_arr, mean_f, std_f, diff_arr, drift_k_arr))
         return rnd
 
 
@@ -122,29 +139,35 @@ class EIReferenceSDELoss(EMReferenceSDELoss):
     def _omega(self, s, t):
         return self.sde.omega(s, t)
 
-    def _step(self, x, s, t, score, z):
-        return self.sde.ei_integration_step(x, s, t, score, z)
+    def _step_coeffs(self, s, t):
+        return self.sde.ei_step_coeffs(s, t)
+
+    def _grid(self, ts):
+        """Per-step arrays: ctrl time, ω, √ω, affine kernel coefficients."""
+        T = ts[-1]
+        s_arr, t_arr = ts[:-1], ts[1:]
+        omega = self._omega(s_arr, t_arr)
+        a_x, a_s, a_z = self._step_coeffs(s_arr, t_arr)
+        return T - s_arr, omega, jnp.sqrt(omega), a_x, a_s, a_z
 
     def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
                  reference_log_prob, change_sde_ctrl: bool = False,
                  return_traj: bool = False):
-        T = ts[-1]
-
-        def body(carry, st):
+        def body(carry, inp):
             x, rnd, k = carry
-            s, t = st
+            tc, omega, sq_omega, a_x, a_s, a_z = inp
             k, k_z, k_ctrl = jax.random.split(k, 3)
-            u = ctrl(T - s, x)
-            sde_ctrl = self._sde_ctrl(u, k_ctrl, T - s, x) if change_sde_ctrl else u
-            omega = self._omega(s, t)
+            u = ctrl(tc, x)
+            sde_ctrl = self._sde_ctrl(u, k_ctrl, tc, x) if change_sde_ctrl else u
             rnd = rnd + omega * self.running_cost(u, sde_ctrl, change_sde_ctrl)
             z = jax.random.normal(k_z, x.shape)
-            x_new = self._step(x, s, t, self.reference_ctrl(T - s, x) + sde_ctrl, z)
-            rnd = rnd + jnp.sqrt(omega) * jnp.sum(u * z, axis=-1)
+            score = self.reference_ctrl(tc, x) + sde_ctrl
+            x_new = a_x * x + a_s * score + a_z * z
+            rnd = rnd + sq_omega * jnp.sum(u * z, axis=-1)
             return (x_new, rnd, k), (x_new if return_traj else None)
 
         rnd0 = jnp.zeros((x.shape[0],), x.dtype)
-        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), (ts[:-1], ts[1:]))
+        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), self._grid(ts))
         rnd = rnd + reference_log_prob(x_T) - terminal_unnorm_log_prob(x_T)
         xs = jnp.concatenate([x[None], traj], axis=0) if return_traj else None
         return x_T, rnd, xs
@@ -156,22 +179,24 @@ class EIReferenceSDELoss(EMReferenceSDELoss):
         times_t = jnp.flip(ts[1:])
         mean_f, var_f = self.sde.transition_params(T - times_t, T - times_s)
         std_f = jnp.sqrt(var_f)
+        omega = self._omega(times_s, times_t)
 
         def body(carry, inp):
             x, rnd, k = carry
-            s, t, mf, sf = inp
+            tc, om, sq_om, mf, sf = inp
             k, k_z = jax.random.split(k)
             z = jax.random.normal(k_z, x.shape)
             x = mf * x + sf * z
-            u = ctrl(T - s, x)
-            ref = self.reference_ctrl(T - s, x)
-            omega = self._omega(s, t)
-            rnd = rnd - jnp.sum(u * (ref + 0.5 * u), axis=-1) * omega
-            rnd = rnd - jnp.sum(u * z, axis=-1) * jnp.sqrt(omega)
+            u = ctrl(tc, x)
+            ref = self.reference_ctrl(tc, x)
+            rnd = rnd - jnp.sum(u * (ref + 0.5 * u), axis=-1) * om
+            rnd = rnd - jnp.sum(u * z, axis=-1) * sq_om
             return (x, rnd, k), None
 
         rnd0 = reference_log_prob(x) - terminal_unnorm_log_prob(x)
-        (_, rnd, _), _ = self._scan(body, (x, rnd0, key), (times_s, times_t, mean_f, std_f))
+        (_, rnd, _), _ = self._scan(
+            body, (x, rnd0, key),
+            (T - times_s, omega, jnp.sqrt(omega), mean_f, std_f))
         return rnd
 
 
@@ -181,7 +206,7 @@ class DDPMLikeReferenceSDELoss(EIReferenceSDELoss):
     def _omega(self, s, t):
         return self.sde.omega_ddpm(s, t)
 
-    def _step(self, x, s, t, score, z):
-        return self.sde.ddpm_integration_step(x, s, t, score, z)
+    def _step_coeffs(self, s, t):
+        return self.sde.ddpm_step_coeffs(s, t)
 
     compute_eubo = None  # no EUBO variant for the DDPM kernel in the reference

@@ -85,19 +85,30 @@ class OU:
         a = self.s(t)
         return jnp.log(a**2 / (a**2 * self.sigma_sq(t)))
 
-    # -- generic DDPM weights/steps (unstable; VP/PBM override) ------------
-    def _ddpm_mean_var(self, x, t_k, t_k_p_1, score):
-        T = self.terminal_t
-        a_step, v_step = self.transition_params(T - t_k_p_1, T - t_k)
-        a_k1 = self.s(T - t_k)
-        v_k1 = a_k1**2 * self.sigma_sq(T - t_k)
-        a_k0 = self.s(T - t_k_p_1)
-        v_k0 = a_k0**2 * self.sigma_sq(T - t_k_p_1)
-        x0 = (v_k1 * score + x) / a_k1
-        var = v_step * v_k0 / (v_step + v_k0 * a_step**2)
-        mean = var * ((a_step / v_step) * x + (a_k0 / v_k0) * x0)
-        return mean, var
+    # -- affine step coefficients (vectorized over grids) -------------------
+    # The denoising kernels are affine in (x, score, z):
+    #     x' = a_x·x + a_s·score + a_z·z.
+    # Computing (a_x, a_s, a_z) for the WHOLE grid outside the lax.scan is
+    # load-bearing on TPU: the schedule transcendentals are scalar ops that
+    # cost ~0.26 ms/step when left inside the scan body (~100× the cost of
+    # the actual batched work at the reference's eval scale).
+    def ei_step_coeffs(self, s, t):
+        raise NotImplementedError
 
+    def ddpm_step_coeffs(self, s, t):
+        """Generic DDPM-like posterior coefficients (eq/sdes.py:192)."""
+        T = self.terminal_t
+        a_step, v_step = self.transition_params(T - t, T - s)
+        a_k1 = self.s(T - s)
+        v_k1 = a_k1**2 * self.sigma_sq(T - s)
+        a_k0 = self.s(T - t)
+        v_k0 = a_k0**2 * self.sigma_sq(T - t)
+        var = v_step * v_k0 / (v_step + v_k0 * a_step**2)
+        a_x = var * (a_step / v_step + a_k0 / (v_k0 * a_k1))
+        a_s = var * a_k0 * v_k1 / (v_k0 * a_k1)
+        return a_x, a_s, jnp.sqrt(var)
+
+    # -- generic DDPM weights/steps (unstable; VP/PBM override) ------------
     def omega_ddpm(self, t_k, t_k_p_1):
         T = self.terminal_t
         a_step, v_step = self.transition_params(T - t_k_p_1, T - t_k)
@@ -110,8 +121,8 @@ class OU:
         return w_sq * var
 
     def ddpm_integration_step(self, x, t_k, t_k_p_1, score, z):
-        mean, var = self._ddpm_mean_var(x, t_k, t_k_p_1, score)
-        return mean + jnp.sqrt(var) * z
+        a_x, a_s, a_z = self.ddpm_step_coeffs(t_k, t_k_p_1)
+        return a_x * x + a_s * score + a_z * z
 
     # -- noised marginals of Gaussian / GMM references ---------------------
     def marginal_params(self, t, x_init, var_init=None, is_mixture: bool = False):
@@ -315,22 +326,32 @@ class VP(OU):
         lam_k1 = -jnp.expm1(-self.alpha_(self.terminal_t - t_k_p_1))
         return self.scale_diff_coeff**2 * (lam_k / lam_k1) * self.lambda_(t_k, t_k_p_1)
 
-    def ei_integration_step(self, x, t_k, t_k_p_1, score, z):
-        lam = self.lambda_(t_k, t_k_p_1)
+    def ei_step_coeffs(self, s, t):
+        lam = self.lambda_(s, t)
         root = jnp.sqrt(1.0 + lam)
-        out = root * x + 2.0 * self.scale_diff_coeff**2 * (root - 1.0) * score
-        return out + self.scale_diff_coeff * jnp.sqrt(lam) * z
+        return (root, 2.0 * self.scale_diff_coeff**2 * (root - 1.0),
+                self.scale_diff_coeff * jnp.sqrt(lam))
+
+    def ei_integration_step(self, x, t_k, t_k_p_1, score, z):
+        a_x, a_s, a_z = self.ei_step_coeffs(t_k, t_k_p_1)
+        return a_x * x + a_s * score + a_z * z
+
+    def ddpm_step_coeffs(self, s, t):
+        """Numerically stable DDPM coefficients (eq/sdes.py:541)."""
+        T = self.terminal_t
+        lam = self.lambda_(s, t)
+        lam_rev = -jnp.expm1(self.alpha_(T - t) - self.alpha_(T - s))
+        lam_k = -jnp.expm1(-self.alpha_(T - s))
+        lam_k1 = -jnp.expm1(-self.alpha_(T - t))
+        d_alpha = (self.alpha_(T - s) - self.alpha_(T - t)) / 2.0
+        var = self.scale_diff_coeff**2 * lam_rev * (lam_k1 / lam_k)
+        return (jnp.sqrt(1.0 + lam),
+                2.0 * self.scale_diff_coeff**2 * jnp.sinh(d_alpha),
+                jnp.sqrt(var))
 
     def ddpm_integration_step(self, x, t_k, t_k_p_1, score, z):
-        T = self.terminal_t
-        lam = self.lambda_(t_k, t_k_p_1)
-        lam_rev = -jnp.expm1(self.alpha_(T - t_k_p_1) - self.alpha_(T - t_k))
-        lam_k = -jnp.expm1(-self.alpha_(T - t_k))
-        lam_k1 = -jnp.expm1(-self.alpha_(T - t_k_p_1))
-        d_alpha = (self.alpha_(T - t_k) - self.alpha_(T - t_k_p_1)) / 2.0
-        var = self.scale_diff_coeff**2 * lam_rev * (lam_k1 / lam_k)
-        mean = jnp.sqrt(1.0 + lam) * x + 2.0 * self.scale_diff_coeff**2 * jnp.sinh(d_alpha) * score
-        return mean + jnp.sqrt(var) * z
+        a_x, a_s, a_z = self.ddpm_step_coeffs(t_k, t_k_p_1)
+        return a_x * x + a_s * score + a_z * z
 
 
 class CosineVP(VP):
@@ -397,13 +418,19 @@ class PinnedBM(OU):
         T = self.terminal_t
         return self.diff_coeff**2 * ((T - t_k) / (T - t_k_p_1)) * (t_k_p_1 - t_k)
 
+    def ei_step_coeffs(self, s, t):
+        var = self.diff_coeff**2 * (t / s) * (t - s)
+        return t / s, self.diff_coeff**2 * (t - s), jnp.sqrt(var)
+
     def ei_integration_step(self, x, t_k, t_k_p_1, score, z):
-        out = (t_k_p_1 / t_k) * x + self.diff_coeff**2 * (t_k_p_1 - t_k) * score
-        var = self.diff_coeff**2 * (t_k_p_1 / t_k) * (t_k_p_1 - t_k)
-        return out + jnp.sqrt(var) * z
+        a_x, a_s, a_z = self.ei_step_coeffs(t_k, t_k_p_1)
+        return a_x * x + a_s * score + a_z * z
+
+    def ddpm_step_coeffs(self, s, t):
+        T = self.terminal_t
+        var = self.diff_coeff**2 * ((T - t) / (T - s)) * (t - s)
+        return t / s, self.diff_coeff**2 * (t - s), jnp.sqrt(var)
 
     def ddpm_integration_step(self, x, t_k, t_k_p_1, score, z):
-        T = self.terminal_t
-        var = self.diff_coeff**2 * ((T - t_k_p_1) / (T - t_k)) * (t_k_p_1 - t_k)
-        mean = (t_k_p_1 / t_k) * x + self.diff_coeff**2 * (t_k_p_1 - t_k) * score
-        return mean + jnp.sqrt(var) * z
+        a_x, a_s, a_z = self.ddpm_step_coeffs(t_k, t_k_p_1)
+        return a_x * x + a_s * score + a_z * z

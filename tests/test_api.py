@@ -43,9 +43,11 @@ CONFIGS = [
     ("dis-orig", dict(solver_type="dis_orig", ref_type="default", loss_type="lv",
                       integrator_type="em", model_type="target_informed_lerp_tempering",
                       time_type="uniform")),
+    # base_zero_init with CMCD needs force_base_zero_init — the api mirrors
+    # the reference's inverted check (benchmark_utils.py:122)
     ("cmcd", dict(solver_type="cmcd", ref_type="default", loss_type="lv",
                   integrator_type="em", model_type="base_zero_init",
-                  time_type="uniform")),
+                  time_type="uniform", force_base_zero_init=True)),
     ("vp-ref-langevin", dict(solver_type="vp-ref", ref_type="default", loss_type="kl",
                              integrator_type="em",
                              model_type="target_informed_langevin_init",

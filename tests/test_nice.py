@@ -16,6 +16,18 @@ from sde_sampler_lrds_tpu.targets.nice import (
 )
 
 
+def _load_train_nice():
+    """Import scripts/train_nice.py by explicit path (robust to cwd and to
+    other namespace packages named `scripts` on sys.path)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "train_nice_script", Path(__file__).parents[1] / "scripts" / "train_nice.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.train_nice
+
+
 def small_model(dim=8, use_sigmoid=False):
     return NiceModel(coupling=3, in_out_dim=dim, mid_dim=32, hidden=2,
                      mask_config=1, latent="logistic", use_sigmoid=use_sigmoid)
@@ -48,7 +60,7 @@ def test_log_det_matches_autodiff_jacobian():
 def test_nice_training_improves_likelihood(tmp_path):
     """Train a small NICE on a 2-mode 8-D dataset; NLL decreases, samples
     match moments, checkpoint round-trips through Nice."""
-    from scripts.train_nice import train_nice
+    train_nice = _load_train_nice()
 
     rng = np.random.default_rng(0)
     data = np.concatenate([
@@ -73,7 +85,7 @@ def test_nice_training_improves_likelihood(tmp_path):
 def test_mixture_nice_two_flows(tmp_path):
     """MixtureNice over two small flows: normalized mixture log-prob, score
     via autodiff consistency, digit classification."""
-    from scripts.train_nice import train_nice
+    train_nice = _load_train_nice()
 
     rng = np.random.default_rng(1)
     flows = []
