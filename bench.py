@@ -41,7 +41,8 @@ def main():
     ts = get_timesteps(0.0, 1.0, steps=K_STEPS)
     cfg = TrainConfig(train_steps=256, train_batch_size=1024,
                       eval_batch_size=EVAL_BATCH, lr=3e-3,
-                      eval_interval=10_000, log_interval=64)
+                      eval_interval=10_000, log_interval=64,
+                      steps_per_call=32)
     solver = RDS(target, prior, sde, ctrl, EIReferenceSDELoss,
                  {"method": "lv", "max_rnd": 1e8}, train_ts=ts, cfg=cfg)
     # genuine LRDS pipeline (demo notebook): MALA dataset seeded at the mode
@@ -55,14 +56,15 @@ def main():
                                  weights=w_fit)
     solver.setup()
 
-    # ---- train 256 steps ------------------------------------------------
+    # ---- train 256 steps (32 optimizer steps fused per call) -------------
     key = jax.random.PRNGKey(0)
     t_train = time.time()
-    for _ in range(cfg.train_steps):
+    for _ in range(cfg.train_steps // cfg.steps_per_call):
         key, sub = jax.random.split(key)
         metrics = solver.step(sub)
-    train_loss = float(metrics["train/loss"])
+    jax.block_until_ready(solver.state.params)
     train_time = time.time() - t_train
+    train_loss = float(metrics["train/loss"])
 
     # ---- timed eval sampling (8192 x 100 steps) -------------------------
     params = solver.state.ema_params

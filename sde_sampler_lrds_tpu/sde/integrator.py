@@ -36,9 +36,20 @@ def integrate_sde(sde, key: jax.Array, ts: jnp.ndarray, x_init: jnp.ndarray,
     return x_final
 
 
+def interpolate_traj(traj: jnp.ndarray, grid: jnp.ndarray, out_ts: jnp.ndarray) -> jnp.ndarray:
+    """Linear interpolation of a (K+1, B, D) trajectory onto output times
+    (reference eq/integrator.py:66)."""
+    idx = jnp.clip(jnp.searchsorted(grid, out_ts, side="right") - 1, 0, grid.shape[0] - 2)
+    t0 = grid[idx]
+    t1 = grid[idx + 1]
+    w = ((out_ts - t0) / jnp.maximum(t1 - t0, 1e-12))[:, None, None]
+    return traj[idx] * (1 - w) + traj[idx + 1] * w
+
+
 class EulerIntegrator:
     """Thin object wrapper matching the reference Integrator protocol
-    (eq/integrator.py:80): integrate(sde, ts, x_init) -> trajectory."""
+    (eq/integrator.py:80): integrate on an (optionally finer) internal grid,
+    then linearly interpolate onto the requested output times."""
 
     def __init__(self, sde_steps: int | None = None):
         self.sde_steps = sde_steps
@@ -46,7 +57,12 @@ class EulerIntegrator:
     def integrate(self, sde, key: jax.Array, ts: jnp.ndarray, x_init: jnp.ndarray,
                   timesteps: jnp.ndarray | None = None) -> jnp.ndarray:
         grid = ts if timesteps is None else timesteps
-        return integrate_sde(sde, key, grid, x_init, return_traj=True)
+        if self.sde_steps is not None and self.sde_steps + 1 != grid.shape[0]:
+            grid = jnp.linspace(ts[0], ts[-1], self.sde_steps + 1)
+        traj = integrate_sde(sde, key, grid, x_init, return_traj=True)
+        if timesteps is not None or grid.shape[0] != ts.shape[0]:
+            return interpolate_traj(traj, grid, ts)
+        return traj
 
 
 def make_brownian_increments(key: jax.Array, ts: jnp.ndarray, shape: tuple) -> jnp.ndarray:

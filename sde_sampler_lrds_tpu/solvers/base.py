@@ -70,6 +70,10 @@ class TrainConfig:
     ckpt_interval: int | None = None
     seed: int = 0
     lr_schedule: Callable | None = None
+    # number of optimizer steps fused into one jitted call (a lax.scan over
+    # steps); >1 amortizes host dispatch latency — essential on runtimes with
+    # a high per-call round trip and harmless elsewhere
+    steps_per_call: int = 1
 
 
 class Solver:
@@ -177,7 +181,17 @@ class Trainable(Solver):
             metrics = {"train/loss": loss, "train/grad_norm": gnorm, **metrics}
             return new_state, metrics
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        n = self.cfg.steps_per_call
+        if n <= 1:
+            return jax.jit(train_step, donate_argnums=(0,))
+
+        def multi_step(state: TrainState, key: jax.Array):
+            keys = jax.random.split(key, n)
+            state, metrics = jax.lax.scan(train_step, state, keys)
+            # report the last step's metrics (matches the 1-step contract)
+            return state, jax.tree.map(lambda m: m[-1], metrics)
+
+        return jax.jit(multi_step, donate_argnums=(0,))
 
     # -- lifecycle ---------------------------------------------------------
     def setup(self, key: jax.Array | None = None):
@@ -201,7 +215,8 @@ class Trainable(Solver):
         last_metrics: dict = {}
         start = time.time()
         start_step = int(self.state.step)
-        for step_id in range(start_step, cfg.train_steps):
+        spc = max(cfg.steps_per_call, 1)
+        for step_id in range(start_step + spc - 1, cfg.train_steps, spc):
             key, sub = jax.random.split(key)
             metrics = self.step(sub)
             if (step_id + 1) % cfg.log_interval == 0:

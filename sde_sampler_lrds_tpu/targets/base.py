@@ -172,6 +172,12 @@ def boole_grid(domain: jnp.ndarray, n_points: int) -> tuple[jnp.ndarray, jnp.nda
     return jnp.asarray(pts, jnp.float32), jnp.asarray(weights, jnp.float32)
 
 
+def run_gdflow(grad_U, x_init: jnp.ndarray, n_steps: int, dt: float) -> jnp.ndarray:
+    """Gradient-descent flow to local energy minima (distr/base.py:201),
+    as one fori_loop instead of a Python loop."""
+    return jax.lax.fori_loop(0, n_steps, lambda _, x: x - dt * grad_U(x), x_init)
+
+
 def sample_uniform(key: jax.Array, domain: jnp.ndarray, batch_size: int = 1) -> jnp.ndarray:
     """Uniform samples over the box domain (distr/base.py:178)."""
     dim = domain.shape[0]

@@ -94,10 +94,10 @@ class PhiFour(Target):
 
     def compute_stats_integration(self):
         # Gradient-descent flow to the two wells, then Laplace weights.
-        x = jnp.stack([jnp.ones(self.dim), -jnp.ones(self.dim)])
-        step = jax.jit(lambda y: y - 5e-3 * self.grad_U(y))
-        for _ in range(10000):
-            x = step(x)
+        from .base import run_gdflow
+
+        x0 = jnp.stack([jnp.ones(self.dim), -jnp.ones(self.dim)])
+        x = jax.jit(lambda y: run_gdflow(self.grad_U, y, 10000, 5e-3))(x0)
         self.x_min = x
         _, lap_pos = self.log_laplace(x[0])
         _, lap_neg = self.log_laplace(x[1])
