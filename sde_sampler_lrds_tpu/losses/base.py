@@ -56,6 +56,7 @@ class BaseOCLoss:
         sde_ctrl_noise: float | None = None,
         sde_ctrl_dropout: float | None = None,
         remat: bool = True,
+        unroll: int = 1,
     ):
         if method not in ("kl", "kl_ito", "lv", "lv_traj"):
             raise ValueError("Unknown loss method.")
@@ -69,6 +70,7 @@ class BaseOCLoss:
         self.sde_ctrl_noise = sde_ctrl_noise
         self.sde_ctrl_dropout = sde_ctrl_dropout
         self.remat = remat
+        self.unroll = unroll
 
     # -- LV control detachment --------------------------------------------
     @property
@@ -129,6 +131,9 @@ class BaseOCLoss:
         return x
 
     def _scan(self, body, carry, xs):
+        """Fused trajectory scan: remat'd body (memory ∝ K/unroll instead of
+        K when differentiating), unrolled a few steps per iteration to
+        amortize the TPU's per-scan-iteration overhead."""
         if self.remat:
             body = jax.checkpoint(body)
-        return jax.lax.scan(body, carry, xs)
+        return jax.lax.scan(body, carry, xs, unroll=self.unroll)
