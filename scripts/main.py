@@ -77,6 +77,7 @@ def main():
     logging.basicConfig(level=logging.INFO)
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "error.txt").unlink(missing_ok=True)
     (out_dir / "config.json").write_text(json.dumps(vars(args), indent=2))
 
     import jax
@@ -129,7 +130,10 @@ def main():
             model_type=MODEL_PRESETS[args.model], time_type=args.time_type,
             solver_details=solver_details, target_details=target_details,
             training_details=training_details, n_steps=args.steps,
-            use_ema=args.use_ema, out_dir=out_dir)
+            use_ema=args.use_ema, out_dir=out_dir,
+            # conf/solver/cmcd.yaml pairs CMCD with the basic model; the api
+            # mirrors the reference's inverted check, so take the escape hatch
+            force_base_zero_init=(args.solver == "cmcd" and args.model == "basic"))
         solver.cfg.ckpt_interval = args.ckpt_interval
         wandb_run = maybe_init_wandb(args.wandb, out_dir, vars(args))
         solver.setup()
