@@ -50,10 +50,16 @@ class EMReferenceSDELoss(BaseOCLoss):
         else:
             zeros = jnp.zeros_like(dt_arr)
             xs_in = (t_ctrl, dt_arr, jnp.sqrt(dt_arr), zeros, zeros)
+        tabulated = hasattr(self.reference_ctrl, "precompute")
+        if tabulated:
+            xs_in = (*xs_in, self.reference_ctrl.precompute(t_ctrl))
 
         def body(carry, inp):
             x, rnd, k = carry
-            tc, dt, sqdt, diff, drift_k = inp
+            if tabulated:
+                tc, dt, sqdt, diff, drift_k, tab = inp
+            else:
+                tc, dt, sqdt, diff, drift_k = inp
             k, k_db, k_ctrl = jax.random.split(k, 3)
             u = ctrl(tc, x)
             sde_ctrl = self._sde_ctrl(u, k_ctrl, tc, x) if change_sde_ctrl else u
@@ -65,7 +71,9 @@ class EMReferenceSDELoss(BaseOCLoss):
             db = sqdt * jax.random.normal(k_db, x.shape)
             drift = -(drift_k * x) if linear else -self.sde.drift(tc, x)
             if self.reference_ctrl is not None:
-                drift = drift + jnp.square(sde_diff) * self.reference_ctrl(tc, x)
+                ref_score = self.reference_ctrl.apply(tab, x) if tabulated \
+                    else self.reference_ctrl(tc, x)
+                drift = drift + jnp.square(sde_diff) * ref_score
             x_new = x + (drift + sde_diff * sde_ctrl) * dt + sde_diff * db
             rnd = rnd + jnp.sum(u * db, axis=-1)
             return (x_new, rnd, k), (x_new if return_traj else None)
@@ -153,21 +161,34 @@ class EIReferenceSDELoss(EMReferenceSDELoss):
     def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
                  reference_log_prob, change_sde_ctrl: bool = False,
                  return_traj: bool = False):
+        grid = self._grid(ts)
+        # tabulated reference: per-step noised-marginal parameters are
+        # precomputed and fed through the scan (see solvers/oc.py
+        # GaussianReferenceCtrl / GMMReferenceCtrl)
+        tabulated = hasattr(self.reference_ctrl, "precompute")
+        if tabulated:
+            ref_tab = self.reference_ctrl.precompute(ts[-1] - ts[:-1])
+            grid = (*grid, ref_tab)
+
         def body(carry, inp):
             x, rnd, k = carry
-            tc, omega, sq_omega, a_x, a_s, a_z = inp
+            if tabulated:
+                tc, omega, sq_omega, a_x, a_s, a_z, tab = inp
+                ref_score = self.reference_ctrl.apply(tab, x)
+            else:
+                tc, omega, sq_omega, a_x, a_s, a_z = inp
+                ref_score = self.reference_ctrl(tc, x)
             k, k_z, k_ctrl = jax.random.split(k, 3)
             u = ctrl(tc, x)
             sde_ctrl = self._sde_ctrl(u, k_ctrl, tc, x) if change_sde_ctrl else u
             rnd = rnd + omega * self.running_cost(u, sde_ctrl, change_sde_ctrl)
             z = jax.random.normal(k_z, x.shape)
-            score = self.reference_ctrl(tc, x) + sde_ctrl
-            x_new = a_x * x + a_s * score + a_z * z
+            x_new = a_x * x + a_s * (ref_score + sde_ctrl) + a_z * z
             rnd = rnd + sq_omega * jnp.sum(u * z, axis=-1)
             return (x_new, rnd, k), (x_new if return_traj else None)
 
         rnd0 = jnp.zeros((x.shape[0],), x.dtype)
-        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), self._grid(ts))
+        (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), grid)
         rnd = rnd + reference_log_prob(x_T) - terminal_unnorm_log_prob(x_T)
         xs = jnp.concatenate([x[None], traj], axis=0) if return_traj else None
         return x_T, rnd, xs

@@ -237,6 +237,75 @@ class DDS(TrainableDiff):
                 "reference_log_prob": self.reference_log_prob}
 
 
+class GaussianReferenceCtrl:
+    """Time-t score of a noised Gaussian reference with a precompute protocol.
+
+    ``precompute(t_grid)`` evaluates the noised marginal parameters for every
+    grid time at once (vectorized scalar transcendentals); losses then feed
+    the per-step parameter slices through the scan and call ``apply`` — no
+    schedule scalars remain in the scan body (docs/ARCHITECTURE.md).
+    Falls back to plain ``__call__(t, x)`` anywhere else.
+    """
+
+    def __init__(self, sde, x_init, var_init):
+        self.sde = sde
+        self.x_init = x_init
+        self.var_init = var_init
+
+    def __call__(self, t, x):
+        return self.sde.marginal_score(t, x, self.x_init, var_init=self.var_init)
+
+    def precompute(self, t_grid):
+        import jax
+
+        return jax.vmap(lambda t: self.sde.marginal_params(
+            t, self.x_init, var_init=self.var_init))(t_grid)
+
+    @staticmethod
+    def apply(step_params, x):
+        from ..targets.gauss import score_gauss, score_gauss_full
+
+        loc, var = step_params
+        if isinstance(var, tuple):
+            return score_gauss_full(x, loc, None, precisions=var[0])
+        if var.ndim == 2:
+            return score_gauss_full(x, loc, var)
+        return score_gauss(x, loc, var)
+
+
+class GMMReferenceCtrl:
+    """Time-t score of a noised GMM reference with a precompute protocol."""
+
+    def __init__(self, sde, means, variances, weights):
+        self.sde = sde
+        self.means = means
+        self.variances = variances
+        self.weights = weights
+
+    def __call__(self, t, x):
+        return self.sde.marginal_gmm_score(t, x, self.means, self.variances,
+                                           self.weights)
+
+    def precompute(self, t_grid):
+        import jax
+
+        return jax.vmap(lambda t: self.sde.marginal_gmm_params(
+            t, self.means, self.variances, self.weights))(t_grid)
+
+    @staticmethod
+    def apply(step_params, x):
+        from ..targets.gauss import score_mog, score_mog_full
+
+        w, m, v = step_params
+        if isinstance(v, tuple):
+            return score_mog_full(x, w, m, None, precisions=v[0],
+                                  covariances_log_det=v[1])
+        if v.ndim == 3:
+            return score_mog_full(x, w, m, v)
+        v = jnp.broadcast_to(v, m.shape)
+        return score_mog(x, w, m, v)
+
+
 class RDS(TrainableDiff):
     """Learned reference-based diffusion sampler (solver/oc.py:495)."""
 
@@ -248,7 +317,8 @@ class RDS(TrainableDiff):
 
     def _rebuild_loss(self):
         kwargs = dict(self.loss_kwargs)
-        kwargs["reference_ctrl"] = self.reference_ctrl
+        # pass the ctrl OBJECT so losses can use its precompute protocol
+        kwargs["reference_ctrl"] = self.reference_score_t
         self.loss = self.loss_cls(sde=self.sde, **kwargs)
 
     def change_reference_type(self, ref_type: str = "default", net=None, eps=None,
@@ -270,8 +340,7 @@ class RDS(TrainableDiff):
             self.reference_distr_utils = {"x_init": loc, "var_init": var0}
             self.reference_log_prob = lambda x: sde.marginal_log_prob(
                 jnp.asarray(0.0), x, loc, var_init=var0)
-            self.reference_score_t = lambda t, x: sde.marginal_score(
-                t, x, loc, var_init=var0)
+            self.reference_score_t = GaussianReferenceCtrl(sde, loc, var0)
         elif ref_type == "gaussian":
             mean = jnp.asarray(mean, jnp.float32)
             var = tuple(jnp.asarray(v, jnp.float32) for v in var) \
@@ -279,8 +348,7 @@ class RDS(TrainableDiff):
             self.reference_distr_utils = {"x_init": mean, "var_init": var}
             self.reference_log_prob = lambda x: sde.marginal_log_prob(
                 jnp.asarray(0.0), x, mean, var_init=var)
-            self.reference_score_t = lambda t, x: sde.marginal_score(
-                t, x, mean, var_init=var)
+            self.reference_score_t = GaussianReferenceCtrl(sde, mean, var)
         elif ref_type == "gmm":
             means = jnp.asarray(means, jnp.float32)
             variances = tuple(jnp.asarray(v, jnp.float32) for v in variances) \
@@ -290,8 +358,7 @@ class RDS(TrainableDiff):
                 "means_init": means, "variances_init": variances, "weights_init": weights}
             self.reference_log_prob = lambda x: sde.marginal_gmm_log_prob(
                 jnp.asarray(0.0), x, means, variances, weights)
-            self.reference_score_t = lambda t, x: sde.marginal_gmm_score(
-                t, x, means, variances, weights)
+            self.reference_score_t = GMMReferenceCtrl(sde, means, variances, weights)
         elif ref_type == "nn":
             # net: (t, x) -> score; net_log_prob: (t, x) -> unnorm log prob
             net_score, net_log_prob = net
