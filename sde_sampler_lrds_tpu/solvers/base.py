@@ -67,6 +67,8 @@ class TrainConfig:
     ema_decay: float = 0.995
     eval_interval: int = 500
     log_interval: int = 50
+    # NOTE: train loops stride by steps_per_call; a train_steps that is not a
+    # multiple of it truncates to the last full chunk.
     ckpt_interval: int | None = None
     seed: int = 0
     lr_schedule: Callable | None = None

@@ -76,7 +76,8 @@ class TrainableWrapper:
         training_metrics = []
         start = time.time()
         start_step = int(t.state.step)
-        for i in range(start_step, t.cfg.train_steps):
+        spc = max(t.cfg.steps_per_call, 1)
+        for i in range(start_step + spc - 1, t.cfg.train_steps, spc):
             key, sub = jax.random.split(key)
             metrics = t.step(sub)
             if keep_training_metrics:
@@ -110,7 +111,8 @@ class TrainableWrapperWithIntermediates(TrainableWrapper):
         key = key if key is not None else jax.random.PRNGKey(t.cfg.seed + 1)
         inter_train, inter_eval = [], []
         start = time.time()
-        for i in range(int(t.state.step), t.cfg.train_steps):
+        spc = max(t.cfg.steps_per_call, 1)
+        for i in range(int(t.state.step) + spc - 1, t.cfg.train_steps, spc):
             key, sub = jax.random.split(key)
             metrics = t.step(sub)
             inter_train.append({k: float(v) for k, v in metrics.items()})

@@ -1,0 +1,59 @@
+"""End-to-end CLI smoke tests (scripts/main.py).
+
+The reference's run surface is the hydra CLI (scripts/main.py:24-121); ours
+is argparse. These drive the real subprocess entry point on tiny budgets:
+run artifacts (config.json, metrics.jsonl, checkpoint), checkpoint resume,
+and the failure path (error.txt + non-zero exit).
+"""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).parents[1]
+MAIN = REPO / "scripts" / "main.py"
+
+TINY = [
+    "--device", "cpu", "--steps", "8", "--train-steps", "6",
+    "--train-batch-size", "32", "--eval-batch-size", "128",
+    "--eval-interval", "1000000", "--log-interval", "2", "--seed", "3",
+    "--target", "two_modes", "--dim", "2",
+]
+
+
+def run_cli(extra, out_dir):
+    cmd = [sys.executable, str(MAIN), *TINY, "--out-dir", str(out_dir), *extra]
+    return subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                          timeout=600)
+
+
+def test_cli_run_writes_artifacts(tmp_path):
+    out = tmp_path / "run"
+    proc = run_cli(["--solver", "vp_rds"], out)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    cfg = json.loads((out / "config.json").read_text())
+    assert cfg["solver"] == "vp_rds"
+    lines = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
+    assert any("train/loss" in l for l in lines)
+    assert not (out / "error.txt").exists()
+    assert list((out / "ckpt").glob("ckpt*.msgpack")), "final checkpoint missing"
+
+
+def test_cli_resume_from_checkpoint(tmp_path):
+    out = tmp_path / "resume"
+    proc = run_cli(["--solver", "vp_rds"], out)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    proc2 = run_cli(["--solver", "vp_rds", "--resume", "--train-steps", "10"], out)
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "resumed from step 6" in (proc2.stderr + proc2.stdout)
+
+
+def test_cli_failure_writes_error_txt(tmp_path):
+    out = tmp_path / "fail"
+    proc = subprocess.run(
+        [sys.executable, str(MAIN), "--device", "cpu", "--target",
+         "no_such_target", "--out-dir", str(out)],
+        capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert proc.returncode == 1
+    err = (out / "error.txt").read_text()
+    assert "Traceback" in err

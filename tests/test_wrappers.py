@@ -46,6 +46,20 @@ def test_trainable_wrapper_run_with_eubo():
     assert np.isfinite(results.metrics["eval/log_norm_const_is_f"])
 
 
+def test_wrapper_respects_steps_per_call():
+    """With fused multi-step training (steps_per_call>1) the wrapper must
+    stride its host loop, not call step() once per optimizer step."""
+    solver = make_solver(train_steps=24)
+    solver.cfg.steps_per_call = 8
+    wrapper = TrainableWrapper(solver)
+    results, train_metrics = wrapper.run(jax.random.PRNGKey(3),
+                                         keep_training_metrics=True)
+    # 24 optimizer steps / 8 per call = 3 host-side step() calls
+    assert len(train_metrics["train/loss"]) == 3
+    assert int(solver.state.step) == 24
+    assert "eval/training_time" in results.metrics
+
+
 def test_wrapper_with_intermediates():
     wrapper = TrainableWrapperWithIntermediates(make_solver(train_steps=16))
     results, train_m, eval_m = wrapper.run(jax.random.PRNGKey(1), results_freq=8,
