@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,16 +51,22 @@ class LogisticRegression(Target):
         if self.use_intercept:
             prior += -0.5 * (intercept - self.intercept_mean) ** 2 / self.intercept_scale**2
             prior -= 0.5 * math.log(2 * math.pi * self.intercept_scale**2)
-        logits_raw = weights @ X.T + intercept[:, None]  # (B, N)
-        # clip in probability space like the reference (logistic_regression.py:56)
-        probs = jnp.clip(_sigmoid(logits_raw), self.threshold, 1.0 - self.threshold)
-        ll = jnp.sum(y[None] * jnp.log(probs) + (1 - y[None]) * jnp.log1p(-probs), axis=-1)
+        logits = weights @ X.T + intercept[:, None]  # (B, N)
+        # The reference clips probabilities to [threshold, 1-threshold]
+        # (logistic_regression.py:56); in float32 1-1e-8 rounds to exactly 1.0,
+        # so clipping in probability space yields 0*log(0)=NaN for confident
+        # logits (|z| > ~17). Equivalent stable form: floor the LOG terms at
+        # log(threshold) and use log-sigmoid, which never over/underflows.
+        log_thr = math.log(self.threshold)
+        log_p = jnp.maximum(jax.nn.log_sigmoid(logits), log_thr)
+        log_1mp = jnp.maximum(jax.nn.log_sigmoid(-logits), log_thr)
+        ll = jnp.sum(y[None] * log_p + (1 - y[None]) * log_1mp, axis=-1)
         return ll + prior
 
     def posterior_score(self, params, X, y) -> jnp.ndarray:
         weights, intercept = self._split(params)
         prior_w = -weights / self.weight_scale**2
-        probs = jnp.clip(_sigmoid(weights @ X.T + intercept[:, None]),
+        probs = jnp.clip(jax.nn.sigmoid(weights @ X.T + intercept[:, None]),
                          self.threshold, 1.0 - self.threshold)
         resid = y[None] - probs  # (B, N)
         score_w = prior_w + resid @ X
@@ -79,7 +86,3 @@ class LogisticRegression(Target):
     def compute_predictive_log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
         """Mean test-set posterior log-density (logistic_regression.py:94)."""
         return self.posterior_log_prob(x, self.X_test, self.y_test).mean()
-
-
-def _sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))

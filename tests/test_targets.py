@@ -150,3 +150,32 @@ def test_compute_stats_gauss():
     # E[sum x_i^2] = dim
     assert abs(g.expectations["square"] - 2.0) < 0.05
     assert abs(g.expectations["sum"]) < 0.05
+
+
+def test_logreg_log_prob_stable_at_confident_logits():
+    """Regression: clipping sigmoid in probability space NaNs in float32
+    (1-1e-8 rounds to 1.0, then (1-y)*log1p(-1) = 0*(-inf) = NaN) for
+    |logits| > ~17 — samples a diffusion eval pass routinely visits. The
+    stable log-sigmoid form must stay finite in value AND gradient."""
+    lr = LogisticRegression(data_type="ionosphere")
+    key = jax.random.PRNGKey(3)
+    # large weights -> confident logits well past the f32 saturation point
+    x = 8.0 * jax.random.normal(key, (32, lr.dim))
+    lp = lr.unnorm_log_prob(x)
+    assert bool(jnp.isfinite(lp).all()), np.asarray(lp)
+    g = jax.vmap(jax.grad(lambda v: lr.unnorm_log_prob(v[None])[0]))(x)
+    assert bool(jnp.isfinite(g).all())
+    # matches the naive clipped-probability form where that form is exact
+    x_small = 0.05 * jax.random.normal(key, (32, lr.dim))
+    w, b = x_small[:, :-1], x_small[:, -1]
+    logits = w @ lr.X_train.T + b[:, None]
+    probs = jnp.clip(jax.nn.sigmoid(logits), 1e-8, 1 - 1e-8)
+    naive_ll = jnp.sum(lr.y_train[None] * jnp.log(probs)
+                       + (1 - lr.y_train[None]) * jnp.log1p(-probs), axis=-1)
+    stable_ll = lr.unnorm_log_prob(x_small) - (
+        -0.5 * jnp.sum(w**2, axis=-1) / lr.weight_scale**2
+        - 0.5 * w.shape[-1] * np.log(2 * np.pi * lr.weight_scale**2)
+        - 0.5 * (b - lr.intercept_mean) ** 2 / lr.intercept_scale**2
+        - 0.5 * np.log(2 * np.pi * lr.intercept_scale**2))
+    np.testing.assert_allclose(np.asarray(stable_ll), np.asarray(naive_ll),
+                               rtol=1e-5, atol=1e-4)
