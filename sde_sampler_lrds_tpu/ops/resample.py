@@ -5,16 +5,19 @@ The reference uses torch.multinomial inside its SMC loop
 (sde_sampler/additions/ebm_mle.py:116) — the N3 native-equivalent component
 of SURVEY.md §2.3. Systematic resampling is the lower-variance default here:
 one uniform draw u₀, positions (i+u₀)/N, inverse-CDF lookup on the weight
-cumsum. The Pallas kernel keeps the cumsum in VMEM and binary-searches all
-lanes in lock-step (log₂N vectorized steps on the VPU); on non-TPU backends
-a jnp.searchsorted fallback compiles to the same result.
+cumsum. The Pallas kernel keeps the cumsum in VMEM and computes the
+inverse-CDF lookup gather-free as a mask-matmul count (Mosaic does not lower
+1-D dynamic gathers): idx_i = #{j : cdf_j < pos_i} = 1ᵀ·[cdfᵀ < pos], one
+(N, P) compare + MXU dot per 128-wide position block. On non-TPU backends a
+jnp.searchsorted fallback compiles to the same result.
 """
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
+
+# (N, 128) f32 mask per grid step must fit VMEM alongside the cdf row
+_PALLAS_MAX_N = 16_384
 
 
 def systematic_resample(key: jax.Array, log_weights: jnp.ndarray,
@@ -27,11 +30,11 @@ def systematic_resample(key: jax.Array, log_weights: jnp.ndarray,
     positions = (jnp.arange(n, dtype=jnp.float32) + u0) / n
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and n >= 256 and (n & (n - 1)) == 0:
-        try:
-            return _systematic_pallas(cdf, positions)
-        except Exception:  # pragma: no cover - fallback on kernel issues
-            pass
+    # NOTE: the selection must be static — a pallas_call that fails Mosaic
+    # lowering raises at the enclosing jit's compile time, where a runtime
+    # try/except cannot catch it.
+    if use_pallas and 256 <= n <= _PALLAS_MAX_N and n % 128 == 0:
+        return _systematic_pallas(cdf, positions)
     return jnp.clip(jnp.searchsorted(cdf, positions), 0, n - 1).astype(jnp.int32)
 
 
@@ -42,34 +45,32 @@ def multinomial_resample(key: jax.Array, log_weights: jnp.ndarray) -> jnp.ndarra
 
 
 def _systematic_pallas(cdf: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
-    """Binary search of `positions` into `cdf`, fully vectorized in VMEM."""
+    """Inverse-CDF lookup as a gather-free mask-matmul count.
+
+    For each 128-wide block of positions: mask[j, i] = cdf_j < pos_i (an
+    (N, 128) broadcast compare in VMEM), then idx = 1ᵀ·mask via one MXU dot.
+    Counts ≤ N < 2²⁴ are exact in float32. searchsorted-left equivalent:
+    idx_i = #{j : cdf_j < pos_i}.
+    """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     n = cdf.shape[0]
-    n_iter = int(math.ceil(math.log2(n))) + 1  # width-1 interval needs a final probe
+    blk = 128
 
     def kernel(cdf_ref, pos_ref, out_ref):
-        cdf_v = cdf_ref[:]
-        pos = pos_ref[:]
-        lo = jnp.zeros_like(pos, dtype=jnp.int32)
-        hi = jnp.full_like(lo, n)
+        c = cdf_ref[:]                                 # (1, n)
+        p = pos_ref[:]                                 # (1, blk)
+        mask = (c.T < p).astype(jnp.float32)           # (n, blk)
+        cnt = jnp.dot(jnp.ones((1, n), jnp.float32), mask)
+        out_ref[:] = jnp.clip(cnt.astype(jnp.int32), 0, n - 1)
 
-        def body(_, lohi):
-            lo, hi = lohi
-            active = lo < hi  # converged lanes must not move again
-            mid = (lo + hi) // 2
-            val = jnp.take(cdf_v, jnp.clip(mid, 0, n - 1), axis=0)
-            go_right = val < pos
-            new_lo = jnp.where(go_right, mid + 1, lo)
-            new_hi = jnp.where(go_right, hi, mid)
-            return jnp.where(active, new_lo, lo), jnp.where(active, new_hi, hi)
-
-        lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
-        out_ref[:] = jnp.clip(lo, 0, n - 1)
-
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        grid=(n // blk,),
+        in_specs=[pl.BlockSpec((1, n), lambda i: (0, 0)),
+                  pl.BlockSpec((1, blk), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((1, blk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
         interpret=jax.default_backend() != "tpu",
-    )(cdf, positions)
+    )(cdf[None], positions[None])
+    return out[0]
