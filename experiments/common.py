@@ -272,7 +272,7 @@ def lrds_run(args, target, target_details, x_init, ref_type, extra_params=None,
 def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
                         em_type="diag", ebm_type="mle_re", n_levels=32,
                         ebm_epochs=2, ebm_batch_size=64, step_size=1e-2,
-                        n_mcmc_steps=8, sde=None):
+                        n_mcmc_steps=8, sde=None, batches_per_call=16):
     """Fit a GMM on the dataset, tilt it with a neural energy, and train the
     EBM by RE-based contrastive MLE (the *_ebm_mcmc.py reference pipeline:
     fit_gmm -> GMMTiltedPotential -> MaximumLikelihoodEBM.train). Returns the
@@ -295,7 +295,7 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
     t0 = time.time()
     trainer.train(key, jnp.asarray(dataset), batch_size=ebm_batch_size,
                   n_epochs=ebm_epochs, initial_n_warmup_mcmc_steps=64,
-                  n_mcmc_steps=n_mcmc_steps)
+                  n_mcmc_steps=n_mcmc_steps, batches_per_call=batches_per_call)
     t_train = time.time() - t0
     params = trainer.ema_params
     net_score = lambda t, x: pot.apply(params, t, x)

@@ -147,8 +147,17 @@ class MaximumLikelihoodEBM:
               clip_val: float = 1.0, initial_n_warmup_mcmc_steps: int = 1024,
               n_mcmc_steps: int = 32, reg_val: float = 0.0,
               use_ema: bool = False, ema_decay: float = 0.995,
-              verbose: bool = False):
-        """Host loop over epochs/batches; sampling + update are jitted.
+              batches_per_call: int = 1, verbose: bool = False):
+        """Fused contrastive-MLE training.
+
+        The first batch (with its long ``initial_n_warmup_mcmc_steps`` warmup)
+        runs as one jitted call; the remaining ``n_epochs × n_batches − 1``
+        updates are fused ``batches_per_call`` at a time into a single
+        ``lax.scan`` whose carry holds (params, opt state, EMA, per-level MCMC
+        step sizes, persistent replica state). Per-step PRNG keys are derived
+        by ``fold_in`` on the global step index, so results are bit-identical
+        for every ``batches_per_call`` value; NaN/divergence aborts
+        (ebm_mle.py:760-767) are checked on the host after each fused call.
 
         Returns (losses, grad_norms, diagnostics).
         """
@@ -204,45 +213,107 @@ class MaximumLikelihoodEBM:
                 loss = loss + reg_val * (jnp.mean(en_pos**2) + jnp.mean(en_neg**2))
             return loss
 
-        @jax.jit
-        def update(params, opt_state, ts_p, xs_p, ts_n, xs_n):
-            loss, grads = jax.value_and_grad(loss_fn)(params, ts_p, xs_p, ts_n, xs_n)
+        n_batches = data.shape[0] // eff_batch
+        total_steps = n_epochs * n_batches
+        if total_steps == 0:
+            return np.zeros((0,)), np.zeros((0,)), []
+        is_cd = self.sampler_type == "cd"
+
+        # Deterministic schedule: permutation per epoch + per-step keys are all
+        # fold_in derivatives, so the fused scan matches batches_per_call=1.
+        key, k_perm, k_step = jax.random.split(key, 3)
+        idx_all = jnp.stack([
+            jax.random.permutation(jax.random.fold_in(k_perm, e),
+                                   data.shape[0])[:n_batches * eff_batch]
+            for e in range(n_epochs)]).reshape(total_steps, eff_batch)
+        step_ids = jnp.arange(total_steps)
+
+        def one_step(params, opt_state, ema, step_sizes, persistent, idx,
+                     step_id, warm):
+            k = jax.random.fold_in(k_step, step_id)
+            k_noise, k_neg = jax.random.split(k)
+            batch = jnp.take(data, idx, axis=0)
+            eps = jax.random.normal(k_noise, (ts_pos.shape[0], dim))
+            xs_pos = mean_f * jnp.tile(batch, (L, 1)) + std_f * eps
+            xs_neg, step_sizes, persistent, diags = self.sample_negatives(
+                params, k_neg, batch_size, step_sizes, warm, n_kept,
+                persistent=persistent, xs_pos=xs_pos if is_cd else None)
+            ts_neg = jnp.repeat(self.times, xs_neg.shape[0] // L)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, ts_pos, xs_pos, ts_neg, xs_neg)
             gnorm = optax.global_norm(grads)
             updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss, gnorm
+            params = optax.apply_updates(params, updates)
+            if use_ema:
+                ema = jax.tree.map(lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                                   ema, params)
+            else:
+                ema = params
+            diag_means = jax.tree.map(jnp.mean, diags)
+            return params, opt_state, ema, step_sizes, persistent, loss, gnorm, \
+                diag_means
+
+        @jax.jit
+        def first_step(params, opt_state, ema, step_sizes, persistent, idx,
+                       step_id):
+            return one_step(params, opt_state, ema, step_sizes, persistent,
+                            idx, step_id, initial_n_warmup_mcmc_steps)
+
+        def scan_body(carry, inp):
+            params, opt_state, ema, step_sizes, persistent = carry
+            idx, step_id = inp
+            params, opt_state, ema, step_sizes, persistent, loss, gnorm, dm = \
+                one_step(params, opt_state, ema, step_sizes, persistent, idx,
+                         step_id, n_warmup)
+            return (params, opt_state, ema, step_sizes, persistent), \
+                (loss, gnorm, dm)
+
+        @jax.jit
+        def fused_steps(carry, idxs, sids):
+            return jax.lax.scan(scan_body, carry, (idxs, sids))
+
+        def check_abort(loss_block, offset):
+            bad = ~np.isfinite(loss_block)
+            if bad.any():
+                raise RuntimeError(
+                    f"NaN loss detected at step {offset + int(bad.argmax())}.")
+            big = np.abs(loss_block) > 1e9
+            if big.any():
+                i = int(big.argmax())
+                raise RuntimeError(
+                    f"Training diverged (loss = {loss_block[i]:.2e}) at step "
+                    f"{offset + i}.")
 
         losses, grad_norms, diagnostics = [], [], []
-        n_batches = data.shape[0] // eff_batch
-        first = True
-        for epoch in range(n_epochs):
-            key, k_perm = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, data.shape[0])
-            for b in range(n_batches):
-                batch = data[perm[b * eff_batch:(b + 1) * eff_batch]]
-                key, k_noise, k_neg = jax.random.split(key, 3)
-                eps = jax.random.normal(k_noise, (ts_pos.shape[0], dim))
-                xs_pos = mean_f * jnp.tile(batch, (L, 1)) + std_f * eps
-                warm = initial_n_warmup_mcmc_steps if first else n_warmup
-                xs_neg, step_sizes, persistent, diags = self.sample_negatives(
-                    self.params, k_neg, batch_size, step_sizes, warm, n_kept,
-                    persistent=persistent,
-                    xs_pos=xs_pos if self.sampler_type == "cd" else None)
-                first = False
-                ts_neg = jnp.repeat(self.times, xs_neg.shape[0] // L)
-                self.params, opt_state, loss, gnorm = update(
-                    self.params, opt_state, ts_pos, xs_pos, ts_neg, xs_neg)
-                loss_f = float(loss)
-                if np.isnan(loss_f):
-                    raise RuntimeError("NaN loss detected.")
-                if abs(loss_f) > 1e9:
-                    raise RuntimeError(f"Training diverged (loss = {loss_f:.2e}).")
-                losses.append(loss_f)
-                grad_norms.append(float(gnorm))
-                diagnostics.append(jax.tree.map(lambda v: float(jnp.mean(v)), diags))
-                if use_ema:
-                    self.ema_params = jax.tree.map(
-                        lambda e, p: ema_decay * e + (1 - ema_decay) * p,
-                        self.ema_params, self.params)
-                else:
-                    self.ema_params = self.params
+        # first batch: long initial warmup, also normalizes the persistent
+        # replica state to the re_sampler's (x, lp, grad) tuple for the scan
+        self.params, opt_state, self.ema_params, step_sizes, persistent, loss, \
+            gnorm, dm = first_step(self.params, opt_state, self.ema_params,
+                                   step_sizes, persistent, idx_all[0],
+                                   step_ids[0])
+        loss_block = np.asarray([float(loss)])
+        check_abort(loss_block, 0)
+        losses.append(float(loss))
+        grad_norms.append(float(gnorm))
+        diagnostics.append(jax.tree.map(float, dm))
+
+        spc = max(int(batches_per_call), 1)
+        pos = 1
+        carry = (self.params, opt_state, self.ema_params, step_sizes, persistent)
+        while pos < total_steps:
+            hi = min(pos + spc, total_steps)
+            # the ragged tail compiles once more at its shorter scan length
+            if hi - pos != spc:
+                spc = hi - pos
+            carry, (loss_b, gnorm_b, dm_b) = fused_steps(
+                carry, idx_all[pos:hi], step_ids[pos:hi])
+            loss_block = np.asarray(loss_b)
+            check_abort(loss_block, pos)
+            losses.extend(loss_block.tolist())
+            grad_norms.extend(np.asarray(gnorm_b).tolist())
+            dm_host = jax.tree.map(np.asarray, dm_b)
+            for i in range(hi - pos):
+                diagnostics.append(jax.tree.map(lambda v: float(v[i]), dm_host))
+            pos = hi
+        self.params, opt_state, self.ema_params, step_sizes, persistent = carry
         return np.asarray(losses), np.asarray(grad_norms), diagnostics

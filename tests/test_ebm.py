@@ -86,6 +86,33 @@ def test_mle_ebm_trains(sampler):
     assert len(losses) >= 2
 
 
+@pytest.mark.parametrize("sampler", ["replica_exchange", "smc", "cd"])
+def test_mle_ebm_fused_matches_unfused(sampler):
+    """batches_per_call must not change the numerics (fold_in key schedule)."""
+    sde = VP()
+    target = GMM(dim=2, loc=MEANS, scale=jnp.sqrt(VARS), mixture_weights=WEIGHTS)
+    prior = Gauss(dim=2, loc=0.0, scale=1.0)
+    data = target.sample(jax.random.PRNGKey(4), (192,))
+
+    def run(bpc):
+        trainer = MaximumLikelihoodEBM(
+            sde, prior, make_potential(sde), sampler_type=sampler,
+            step_sizes_per_noise=1e-2, n_steps=4, use_ula=(sampler == "cd"))
+        losses, gnorms, _ = trainer.train(
+            jax.random.PRNGKey(5), data, batch_size=32, n_epochs=2,
+            initial_n_warmup_mcmc_steps=4, n_mcmc_steps=4,
+            batches_per_call=bpc)
+        return losses, gnorms, trainer.params
+
+    l1, g1, p1 = run(1)
+    l4, g4, p4 = run(4)
+    assert len(l1) == len(l4) > 2
+    np.testing.assert_allclose(l1, l4, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(g1, g4, rtol=1e-5, atol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), p1, p4)
+
+
 def test_daebm_trains():
     sde = VP()
     target = Gauss(dim=2, loc=0.5, scale=0.8)
