@@ -38,17 +38,23 @@ class Sinkhorn:
     def __init__(self, p: int = 2, eps: float = 1e-3, max_iters: int = 100,
                  stop_thresh: float = 1e-5, n_max: int | None = None,
                  block_size: int = 512, eps_annealing: bool = True,
-                 eps_start: float = 1.0, **kwargs):
+                 eps_start: float = 1.0, backend: str = "xla", **kwargs):
         if not isinstance(p, int) or p <= 0:
             raise ValueError(f"p must be an integer greater than 0, got {p}")
         if eps <= 0:
             raise ValueError("Entropy regularization term eps must be > 0")
+        if backend not in ("xla", "native", "auto"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.p = p
         self.eps = eps
         self.max_iters = max_iters
         self.stop_thresh = stop_thresh
         self.n_max = n_max
         self.block_size = block_size
+        # 'xla' = tiled lax.map kernel (TPU default); 'native' = the
+        # JIT-built C++/OpenMP host library (eval/native, the pykeops-parity
+        # tier); 'auto' = native when it builds, else xla.
+        self.backend = backend
         # ε-scaling: warm-start the duals through a geometric ε schedule.
         # At ε=1e-3 in f32 the raw iteration collapses to alternating hard
         # mins and stalls far from the optimum (the reference's pykeops
@@ -78,8 +84,9 @@ class Sinkhorn:
 
     def compute(self, x, y, w_x=None, w_y=None):
         n, m = x.shape[0], y.shape[0]
-        if w_x is None and w_y is None:
+        if w_x is None:
             w_x = jnp.ones((n,)) / n
+        if w_y is None:
             w_y = jnp.ones((m,)) / m
         w_x = jnp.reshape(w_x, (-1,))
         w_y = jnp.reshape(w_y, (-1,))
@@ -131,6 +138,24 @@ class Sinkhorn:
 
         return jnp.sum(jax.lax.map(block_dist, (xb, ub)))
 
+    def compute_native(self, x, y, w_x=None, w_y=None):
+        """Host C++/OpenMP path (eval/native). Returns None if unavailable."""
+        import numpy as np
+
+        from .native import sinkhorn_native
+
+        x = np.asarray(x)
+        y = np.asarray(y)
+        n, m = x.shape[0], y.shape[0]
+        log_a = np.log(np.full((n,), 1.0 / n) if w_x is None
+                       else np.asarray(w_x, np.float64).reshape(-1))
+        log_b = np.log(np.full((m,), 1.0 / m) if w_y is None
+                       else np.asarray(w_y, np.float64).reshape(-1))
+        return sinkhorn_native(
+            x, y, log_a, log_b, p=self.p, eps=self.eps,
+            eps_start=self.eps_start, anneal=self.eps_annealing,
+            max_iters=self.max_iters, stop_thresh=self.stop_thresh)
+
     def __call__(self, x, y, w_x=None, w_y=None):
         if self.n_max is not None:
             x, y = x[: self.n_max], y[: self.n_max]
@@ -138,4 +163,12 @@ class Sinkhorn:
                 w_x = w_x[: self.n_max]
             if w_y is not None:
                 w_y = w_y[: self.n_max]
+        if self.backend in ("native", "auto"):
+            val = self.compute_native(x, y, w_x=w_x, w_y=w_y)
+            if val is not None:
+                return val
+            if self.backend == "native":
+                raise RuntimeError(
+                    "native Sinkhorn backend unavailable (no g++ or build "
+                    "failed); use backend='xla' or 'auto'")
         return self.compute(x, y, w_x=w_x, w_y=w_y)
