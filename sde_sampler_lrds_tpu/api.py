@@ -141,9 +141,15 @@ def _time_embed_scale_model(val: float | None = None):
                      last_kernel_init=zero_init_kernel(), last_bias_init=bias)
 
 
-def make_ctrl(model_type: str, dim: int, target, prior, sde):
-    """Control network per model axis (conf/model/*.yaml)."""
-    base = FourierMLP(dim=dim, zero_init=True)
+def make_ctrl(model_type: str, dim: int, target, prior, sde,
+              compute_dtype=None):
+    """Control network per model axis (conf/model/*.yaml).
+
+    compute_dtype=jnp.bfloat16 runs the Dense matmuls at the MXU's native
+    precision (params stay f32, outputs cast back to f32); quality on the
+    demo protocol is unchanged (docs/RESULTS.md).
+    """
+    base = FourierMLP(dim=dim, zero_init=True, compute_dtype=compute_dtype)
     if model_type in ("base_zero_init", "unet_zero_init"):
         return ClippedCtrl(base_model=base, clip_model=1e4)
     if model_type in ("target_informed_zero_init", "target_informed_unet_zero_init"):
@@ -169,7 +175,8 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
                n_steps: int = 100, force_base_zero_init: bool = False,
                use_ema: bool = False, force_vp20: bool = False,
                force_vp_cosine: bool = False, compute_samples_based_metrics: bool = True,
-               force_T_cosine: float | None = None, out_dir=None, mesh=None):
+               force_T_cosine: float | None = None, out_dir=None, mesh=None,
+               compute_dtype=None):
     """Build a fully configured sampler (benchmark_utils.make_model:96)."""
     assert solver_type in SOLVER_TYPES
     assert ref_type in ("default", "gaussian", "gmm", "nn")
@@ -265,14 +272,16 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
         end = force_T_cosine if force_T_cosine is not None else 6.4
         ts = get_timesteps(0.0, end, dt=0.05, rescale_t="cosine")
         loss_kwargs.update(alpha=solver_details.get("alpha", 1.0), sigma=sigma)
-        solver = DDS(target, prior, None, make_ctrl(model_type, dim, target, prior, None),
+        solver = DDS(target, prior, None, make_ctrl(model_type, dim, target, prior, None,
+                                   compute_dtype=compute_dtype),
                      ExponentialIntegratorSDELoss, loss_kwargs, train_ts=ts, cfg=cfg,
                      out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
     elif solver_type == "pis_orig":
         prior = Delta(dim=dim, loc=0.0)
         sde = ScaledBM(diff_coeff=sigma, terminal_t=5.0)
         ts = get_timesteps(0.0, sde.terminal_t, steps=n_steps)
-        solver = PIS(target, prior, sde, make_ctrl(model_type, dim, target, prior, sde),
+        solver = PIS(target, prior, sde, make_ctrl(model_type, dim, target, prior, sde,
+                                   compute_dtype=compute_dtype),
                      EMReferenceSDELoss, loss_kwargs, train_ts=ts, cfg=cfg,
                      out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
     elif solver_type == "dis_orig":
@@ -282,13 +291,15 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
         ts = get_timesteps(0.0, sde.terminal_t, steps=n_steps)
         if force_vp_cosine:
             ts = get_timesteps(1e-3, sde.terminal_t, steps=n_steps)
-        solver = Bridge(target, prior, sde, make_ctrl(model_type, dim, target, prior, sde),
+        solver = Bridge(target, prior, sde, make_ctrl(model_type, dim, target, prior, sde,
+                                   compute_dtype=compute_dtype),
                         TimeReversalLoss, loss_kwargs, train_ts=ts, cfg=cfg,
                         out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
     elif solver_type == "cmcd":
         prior = IsotropicGauss(dim=dim, scale=solver_details.get("prior_scale", 5.0))
         ts = get_timesteps(0.0, 1.0, steps=n_steps)
-        solver = CMCD(target, prior, None, make_ctrl(model_type, dim, target, prior, None),
+        solver = CMCD(target, prior, None, make_ctrl(model_type, dim, target, prior, None,
+                                   compute_dtype=compute_dtype),
                       ControlledLangevinSDELoss, loss_kwargs, train_ts=ts, cfg=cfg,
                       out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
     else:  # vp-ref / pbm-ref  ->  RDS
@@ -312,7 +323,8 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
                 ts = get_timesteps(0.0, sde.terminal_t, steps=n_steps)
         loss_cls = {"em": EMReferenceSDELoss, "ei": EIReferenceSDELoss,
                     "ddpm_like": DDPMLikeReferenceSDELoss}[integrator_type]
-        solver = RDS(target, prior, sde, make_ctrl(model_type, dim, target, prior, sde),
+        solver = RDS(target, prior, sde, make_ctrl(model_type, dim, target, prior, sde,
+                                   compute_dtype=compute_dtype),
                      loss_cls, loss_kwargs, train_ts=ts, cfg=cfg, out_dir=out_dir,
                      **({"mesh": mesh} if mesh else {}))
 

@@ -69,6 +69,9 @@ class TimeEmbed(nn.Module):
     activation: Callable = nn.gelu
     last_kernel_init: Callable | None = None
     last_bias_init: Callable | None = None
+    # matmul computation dtype (params stay f32); jnp.bfloat16 puts the
+    # Dense layers on the MXU's native precision for the eval path
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, t: jnp.ndarray, *args) -> jnp.ndarray:
@@ -77,15 +80,16 @@ class TimeEmbed(nn.Module):
         phase = self.param("timestep_phase", nn.initializers.normal(1.0), (1, self.channels))
         ang = coeff * t + phase
         embed = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-        embed = self.activation(nn.Dense(self.channels)(embed))
+        dt = self.compute_dtype
+        embed = self.activation(nn.Dense(self.channels, dtype=dt)(embed))
         for _ in range(self.num_layers - 2):
-            embed = self.activation(nn.Dense(self.channels)(embed))
+            embed = self.activation(nn.Dense(self.channels, dtype=dt)(embed))
         kwargs = {}
         if self.last_kernel_init is not None:
             kwargs["kernel_init"] = self.last_kernel_init
         if self.last_bias_init is not None:
             kwargs["bias_init"] = self.last_bias_init
-        return nn.Dense(self.dim_out, **kwargs)(embed)
+        return nn.Dense(self.dim_out, dtype=dt, **kwargs)(embed)
 
 
 class FourierMLP(nn.Module):
@@ -99,25 +103,31 @@ class FourierMLP(nn.Module):
     activation: Callable = nn.gelu
     use_angle_encoding: bool = False
     zero_init: bool = False
+    # matmul computation dtype (params stay f32). The output is cast back to
+    # f32 so RND accumulation in the loss scans keeps full precision.
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         batch = x.shape[0]
         t = _as_time_col(t, batch)
+        dt = self.compute_dtype
         if self.use_angle_encoding:
-            h = nn.Dense(self.channels)(AngleEncoding()(x))
+            h = nn.Dense(self.channels, dtype=dt)(AngleEncoding()(x))
         else:
-            h = nn.Dense(self.channels)(x)
+            h = nn.Dense(self.channels, dtype=dt)(x)
         embed_t = TimeEmbed(dim_out=self.channels, channels=self.channels,
-                            activation=self.activation)(t)
+                            activation=self.activation, compute_dtype=dt)(t)
         h = h + embed_t
         for _ in range(self.num_layers - 2):
-            h = nn.Dense(self.channels)(self.activation(h))
+            h = nn.Dense(self.channels, dtype=dt)(self.activation(h))
         kwargs = {}
         if self.zero_init:
             kwargs = {"kernel_init": zero_init_kernel(),
                       "bias_init": zero_init_bias(fan_in=self.channels)}
-        return nn.Dense(self.dim_out or self.dim, **kwargs)(self.activation(h))
+        out = nn.Dense(self.dim_out or self.dim, dtype=dt,
+                       **kwargs)(self.activation(h))
+        return out.astype(jnp.float32)
 
 
 class DenseNet(nn.Module):
@@ -129,18 +139,22 @@ class DenseNet(nn.Module):
     activation: Callable = nn.gelu
     use_angle_encoding: bool = False
     zero_init: bool = False
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         batch = x.shape[0]
         t = _as_time_col(t, batch)
+        dt = self.compute_dtype
         h = jnp.concatenate([t, x], axis=-1)
         if self.use_angle_encoding:
             h = AngleEncoding()(h)
         for width in self.arch:
-            h = jnp.concatenate([h, self.activation(nn.Dense(width)(h))], axis=-1)
+            h = jnp.concatenate(
+                [h, self.activation(nn.Dense(width, dtype=dt)(h))], axis=-1)
         kwargs = {}
         if self.zero_init:
             kwargs = {"kernel_init": zero_init_kernel(),
                       "bias_init": zero_init_bias(fan_in=h.shape[-1])}
-        return nn.Dense(self.dim_out or self.dim, **kwargs)(h)
+        return nn.Dense(self.dim_out or self.dim, dtype=dt,
+                        **kwargs)(h).astype(jnp.float32)
