@@ -284,6 +284,12 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
     dim = dataset.shape[-1]
     sde = sde or VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
     w, m, v = fit_gmm(n_gmm_components, dataset, em_type=em_type)
+    if jnp.ndim(v) == 3:
+        # eigendecompose full covariances once: the noised marginals then
+        # need no per-sample Cholesky (sde/linear.py _factored_noised_mog),
+        # which is ~100x cheaper inside the EBM-MLE MCMC loops
+        eig, p = np.linalg.eigh(np.asarray(v))
+        v = (jnp.asarray(np.maximum(eig, 1e-8)), jnp.asarray(p))
     pot = GMMTiltedPotential(
         base_model=FourierMLP(dim=dim, zero_init=True), sde=sde,
         weights=w, means=m, variances=v, tilt_type="dot")

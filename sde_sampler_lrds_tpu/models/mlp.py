@@ -109,8 +109,14 @@ class FourierMLP(nn.Module):
 
     @nn.compact
     def __call__(self, t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        batch = x.shape[0]
-        t = _as_time_col(t, batch)
+        # Keep t at its natural length: inside the loss scans t is a per-step
+        # scalar, so the time branch runs at batch 1 and broadcasts into h —
+        # recomputing identical TimeEmbed rows for every sample would roughly
+        # double the control net's per-step FLOPs (the rows are bit-identical,
+        # so this is exact, not an approximation).
+        t = jnp.asarray(t, jnp.float32).reshape(-1)
+        if t.shape[0] not in (1, x.shape[0]):
+            raise ValueError(f"time batch {t.shape[0]} != x batch {x.shape[0]}")
         dt = self.compute_dtype
         if self.use_angle_encoding:
             h = nn.Dense(self.channels, dtype=dt)(AngleEncoding()(x))

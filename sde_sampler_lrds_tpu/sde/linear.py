@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from ..targets.gauss import (
@@ -158,12 +159,11 @@ class OU:
 
     def marginal_log_prob(self, t, x, x_init, var_init=None):
         """log N(x; marginal_params) for a Gaussian reference, x (B, D) -> (B,)."""
+        if isinstance(var_init, tuple):
+            return self._factored_noised_mog(
+                t, x, jnp.atleast_2d(x_init), _lift(var_init), None)[0]
         loc, var = self.marginal_params(
             t, jnp.atleast_2d(x_init), var_init=_lift(var_init), is_mixture=True)
-        if isinstance(var, tuple):
-            prec, log_det = var
-            return log_prob_gaussian_full(
-                x, loc, None, precisions=prec, covariances_log_det=log_det)[:, 0]
         if var.ndim == 3:
             return log_prob_gaussian_full(x, loc, var)[:, 0]
         var = jnp.broadcast_to(var, loc.shape)
@@ -171,9 +171,10 @@ class OU:
 
     def marginal_score(self, t, x, x_init, var_init=None):
         """Score of the noised Gaussian reference at (t, x) (eq/sdes.py:265)."""
+        if isinstance(var_init, tuple):
+            return self._factored_noised_mog(
+                t, x, jnp.atleast_2d(x_init), _lift(var_init), None)[1]
         loc, var = self.marginal_params(t, x_init, var_init=var_init)
-        if isinstance(var, tuple):
-            return score_gauss_full(x, loc, None, precisions=var[0])
         if jnp.ndim(var) == 2:
             return score_gauss_full(x, loc, var)
         return score_gauss(x, loc, var)
@@ -187,19 +188,55 @@ class OU:
             weights = weights_init
         return weights, means, variances
 
+    def _factored_noised_mog(self, t, x, means_init, var_tuple, weights_init):
+        """Noised-MoG (log_prob, score) for eigendecomposed covariances.
+
+        cov_k = P_k diag(eig_k) P_kᵀ noises to P_k diag(s²(eig_k+σ²)) P_kᵀ —
+        the eigenbasis is time-invariant, so the density never needs a
+        per-time Cholesky/precision matrix: rotate the residual into the
+        eigenbasis (one batched matmul on the MXU), scale elementwise, rotate
+        back. This is the hot path of EBM-reference training
+        (GMMTiltedPotential vmaps it per sample; eq/sdes.py:232-239).
+        """
+        eig, p = var_tuple
+        if eig.ndim == 1:
+            eig, p = eig[None], p[None]
+        s_t = self.s(t)
+        denom = s_t**2 * (eig + self.sigma_sq(t))          # (K, D)
+        loc = s_t * jnp.atleast_2d(means_init)             # (K, D)
+        if weights_init is None:
+            w = jnp.ones((loc.shape[0],)) / loc.shape[0]
+        else:
+            w = weights_init / weights_init.sum()
+        diff = x[:, None, :] - loc[None]                   # (B, K, D)
+        y = jnp.einsum("bkd,kde->bke", diff, p)            # eigenbasis coords
+        y_scaled = y / denom[None]
+        quad = jnp.sum(y * y_scaled, axis=-1)              # (B, K)
+        log_det = jnp.sum(jnp.log(denom), axis=-1)         # (K,)
+        lp_k = -0.5 * (quad + log_det[None]
+                       + loc.shape[-1] * jnp.log(2.0 * jnp.pi))
+        log_prob = jax.scipy.special.logsumexp(
+            jnp.log(w)[None] + lp_k, axis=-1)
+        resp = jax.nn.softmax(jnp.log(w)[None] + lp_k, axis=-1)
+        ptd = jnp.einsum("kde,bke->bkd", p, y_scaled)      # precision @ diff
+        score = -jnp.sum(resp[..., None] * ptd, axis=1)
+        return log_prob, score
+
     def marginal_gmm_log_prob(self, t, x, means_init, variances_init, weights_init=None):
+        if isinstance(variances_init, tuple):
+            return self._factored_noised_mog(
+                t, x, means_init, variances_init, weights_init)[0]
         w, m, v = self.marginal_gmm_params(t, means_init, variances_init, weights_init)
-        if isinstance(v, tuple):
-            return mog_full_log_prob(x, w, m, None, precisions=v[0], covariances_log_det=v[1])
         if v.ndim == 3:
             return mog_full_log_prob(x, w, m, v)
         v = jnp.broadcast_to(v, m.shape)
         return mog_log_prob(x, w, m, v)
 
     def marginal_gmm_score(self, t, x, means_init, variances_init, weights_init=None):
+        if isinstance(variances_init, tuple):
+            return self._factored_noised_mog(
+                t, x, means_init, variances_init, weights_init)[1]
         w, m, v = self.marginal_gmm_params(t, means_init, variances_init, weights_init)
-        if isinstance(v, tuple):
-            return score_mog_full(x, w, m, None, precisions=v[0], covariances_log_det=v[1])
         if v.ndim == 3:
             return score_mog_full(x, w, m, v)
         v = jnp.broadcast_to(v, m.shape)

@@ -86,6 +86,32 @@ def test_mle_ebm_trains(sampler):
     assert len(losses) >= 2
 
 
+def test_gmm_tilted_eig_covariances_match_dense():
+    """Eigendecomposed full covariances (the cheap no-Cholesky noised-marginal
+    path, sde/linear.py _factored_noised_mog) must agree with dense ones."""
+    D, K, B = 12, 2, 64
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(K, D, D)) * 0.3
+    v_dense = jnp.asarray(np.einsum("kij,kpj->kip", A, A) + np.eye(D)[None] * 0.5)
+    eig, p = np.linalg.eigh(np.asarray(v_dense))
+    sde = VP()
+    m = jnp.asarray(rng.normal(size=(K, D)))
+    w = jnp.asarray([0.6, 0.4])
+    x = jnp.asarray(rng.normal(size=(B, D)))
+    ts = jnp.asarray(rng.uniform(0.05, 0.95, size=(B,)))
+    outs = []
+    for v in (v_dense, (jnp.asarray(eig), jnp.asarray(p))):
+        pot = GMMTiltedPotential(base_model=FourierMLP(dim=D, zero_init=False),
+                                 sde=sde, weights=w, means=m, variances=v,
+                                 tilt_type="dot")
+        params = pot.init(jax.random.PRNGKey(1), jnp.zeros((2,)), jnp.zeros((2, D)))
+        outs.append(pot.apply(params, ts, x, method="unnorm_log_prob_and_grad"))
+    np.testing.assert_allclose(np.asarray(outs[0][0]), np.asarray(outs[1][0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(outs[0][1]), np.asarray(outs[1][1]),
+                               rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("sampler", ["replica_exchange", "smc", "cd"])
 def test_mle_ebm_fused_matches_unfused(sampler):
     """batches_per_call must not change the numerics (fold_in key schedule)."""
