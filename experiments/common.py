@@ -43,14 +43,21 @@ VI_SOLVERS = ("pis_orig", "dds_orig", "dis_orig", "cmcd", "vp-ref", "pbm-ref")
 BASELINES = ("smc", "re")
 
 
+def stage(msg: str):
+    """Unbuffered stage-progress line (long TPU runs are otherwise silent)."""
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def build_dataset_and_gaussian(key, target, x_init, dataset_size: int,
                                step_size: float = 1e-3):
     """MALA dataset + fitted Gaussian moments with timers (the experiments'
     standard preamble)."""
     t0 = time.time()
+    stage(f"building MALA dataset ({dataset_size} samples)")
     dataset = mcmc_sample(key, target, x_init, step_size=step_size,
                           dataset_length=dataset_size)
     t_mcmc = time.time() - t0
+    stage(f"dataset done in {t_mcmc:.1f}s")
     t0 = time.time()
     mean = dataset.mean(axis=0)
     var = jnp.cov(dataset.T)
@@ -85,7 +92,12 @@ def run_vi(key, solver_type, target_details, solver_details, training_details,
                        **make_model_kwargs)
     wrapper = TrainableWrapper(model)
     key, k_run = jax.random.split(key)
+    stage(f"training {solver_type} sampler "
+          f"({training_details.get('train_steps', '?')} steps)")
+    t0 = time.time()
     results = wrapper.run(k_run)
+    stage(f"train+eval done in {time.time() - t0:.1f}s; "
+          f"{n_sampling_seeds - 1} extra eval seeds")
     all_metrics = [results.metrics]
     for s in range(n_sampling_seeds - 1):
         key, k_eval = jax.random.split(key)
@@ -272,18 +284,28 @@ def lrds_run(args, target, target_details, x_init, ref_type, extra_params=None,
 def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
                         em_type="diag", ebm_type="mle_re", n_levels=32,
                         ebm_epochs=2, ebm_batch_size=64, step_size=1e-2,
-                        n_mcmc_steps=8, sde=None, batches_per_call=16):
+                        n_mcmc_steps=8, sde=None, batches_per_call=16,
+                        net_layers=4, net_channels=64, t_limit=0.0,
+                        lr=3e-4, decay=0.0, perc_keep_mcmc=-1.0,
+                        swap_frequency=16, initial_n_warmup_mcmc_steps=64,
+                        n_accumulation_steps=1, means_init=None):
     """Fit a GMM on the dataset, tilt it with a neural energy, and train the
     EBM by RE-based contrastive MLE (the *_ebm_mcmc.py reference pipeline:
     fit_gmm -> GMMTiltedPotential -> MaximumLikelihoodEBM.train). Returns the
-    (score, unnorm_log_prob) callable pair for change_reference_type('nn')."""
+    (score, unnorm_log_prob) callable pair for change_reference_type('nn').
+
+    The extra knobs expose the reference's phi4 protocol
+    (sample_phi_four_ebm_mcmc.py:129-173: 6x128 net, t_limit 0.2, 200
+    levels, lr 1e-3 + AdamW decay 1e-2, batch 32 with 10-step gradient
+    accumulation, perc_keep_mcmc 0.5, initial warmup 4096)."""
     from sde_sampler_lrds_tpu.models import FourierMLP, GMMTiltedPotential
     from sde_sampler_lrds_tpu.sde import VP
     from sde_sampler_lrds_tpu.targets import Gauss
 
     dim = dataset.shape[-1]
     sde = sde or VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
-    w, m, v = fit_gmm(n_gmm_components, dataset, em_type=em_type)
+    w, m, v = fit_gmm(n_gmm_components, dataset, em_type=em_type,
+                      means_init=means_init)
     if jnp.ndim(v) == 3:
         # eigendecompose full covariances once: the noised marginals then
         # need no per-sample Cholesky (sde/linear.py _factored_noised_mog),
@@ -291,18 +313,28 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
         eig, p = np.linalg.eigh(np.asarray(v))
         v = (jnp.asarray(np.maximum(eig, 1e-8)), jnp.asarray(p))
     pot = GMMTiltedPotential(
-        base_model=FourierMLP(dim=dim, zero_init=True), sde=sde,
-        weights=w, means=m, variances=v, tilt_type="dot")
+        base_model=FourierMLP(dim=dim, num_layers=net_layers,
+                              channels=net_channels, zero_init=True),
+        sde=sde, weights=w, means=m, variances=v, t_limit=t_limit,
+        tilt_type="dot")
     prior = Gauss(dim=dim, loc=mean, scale=jnp.sqrt(var_diag))
     sampler = {"mle_re": "replica_exchange", "mle_smc": "smc",
                "mle_cd": "cd"}.get(ebm_type, "replica_exchange")
     trainer = build_ebm("mle", sde, prior, pot, sampler_type=sampler,
-                        step_sizes_per_noise=step_size, n_steps=n_levels)
+                        step_sizes_per_noise=step_size, n_steps=n_levels,
+                        perc_keep_mcmc=perc_keep_mcmc,
+                        swap_frequency=swap_frequency)
     t0 = time.time()
+    stage(f"training EBM reference ({ebm_epochs} epochs, {n_levels} levels, "
+          f"batch {ebm_batch_size} x acc {n_accumulation_steps})")
     trainer.train(key, jnp.asarray(dataset), batch_size=ebm_batch_size,
-                  n_epochs=ebm_epochs, initial_n_warmup_mcmc_steps=64,
-                  n_mcmc_steps=n_mcmc_steps, batches_per_call=batches_per_call)
+                  n_epochs=ebm_epochs, lr=lr, decay=decay,
+                  initial_n_warmup_mcmc_steps=initial_n_warmup_mcmc_steps,
+                  n_mcmc_steps=n_mcmc_steps,
+                  n_accumulation_steps=n_accumulation_steps,
+                  batches_per_call=batches_per_call)
     t_train = time.time() - t0
+    stage(f"EBM reference done in {t_train:.1f}s")
     params = trainer.ema_params
     net_score = lambda t, x: pot.apply(params, t, x)
     net_log_prob = lambda t, x: pot.apply(params, t, x, method="unnorm_log_prob")
@@ -318,9 +350,20 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
     key, k_data, k_ebm, k_vi = jax.random.split(key, 4)
     dataset, mean, var, var_diag, times = build_dataset_and_gaussian(
         k_data, target, x_init, args.dataset_size, step_size=mcmc_step_size)
+    ebm_kwargs = dict(ebm_kwargs or {})
+    # seed the GMM EM at the energy minima when the target knows them
+    # (reference sample_phi_four_ebm_mcmc.py:109 uses target.x_min)
+    if getattr(target, "x_min", None) is None and \
+            hasattr(target, "compute_stats_integration"):
+        target.compute_stats_integration()
+    x_min = getattr(target, "x_min", None)
+    if x_min is not None and n_gmm_components % x_min.shape[0] == 0:
+        reps = n_gmm_components // x_min.shape[0]
+        ebm_kwargs.setdefault("means_init", np.repeat(
+            np.asarray(x_min), reps, axis=0))
     net, ebm_times = train_ebm_reference(
         k_ebm, dataset, mean, var_diag, n_gmm_components=n_gmm_components,
-        em_type=em_type, **(ebm_kwargs or {}))
+        em_type=em_type, **ebm_kwargs)
     times.update(ebm_times)
     _, all_metrics = run_vi(
         k_vi, solver_type, target_details, {"sigma": 1.0, "net": net},

@@ -17,7 +17,18 @@ parser.add_argument("--dim", type=int, default=100)
 parser.add_argument("--b_range", type=str, default="0.0,0.02")
 parser.add_argument("--n_components", type=int, default=2)
 parser.add_argument("--em_type", type=str, default="full")
-parser.add_argument("--ebm_epochs", type=int, default=4)
+# EBM protocol (reference sample_phi_four_ebm_mcmc.py defaults: 150 epochs,
+# batch 32, 10-step grad accumulation, 200 levels, 6x128 net, t_limit 0.2)
+parser.add_argument("--ebm_epochs", type=int, default=150)
+parser.add_argument("--ebm_batch_size", type=int, default=32)
+parser.add_argument("--ebm_n_accumulation_steps", type=int, default=10)
+parser.add_argument("--ebm_n_levels", type=int, default=200)
+parser.add_argument("--ebm_n_mcmc_steps", type=int, default=32)
+parser.add_argument("--ebm_lr", type=float, default=1e-3)
+parser.add_argument("--ebm_decay", type=float, default=1e-2)
+parser.add_argument("--ebm_t_limit", type=float, default=0.2)
+parser.add_argument("--ebm_net_layers", type=int, default=6)
+parser.add_argument("--ebm_net_channels", type=int, default=128)
 add_common_args(parser)
 args = parser.parse_args()
 config = vars(args)
@@ -35,5 +46,20 @@ for b in [float(x) for x in args.b_range.split(",")]:
                         integrator_type=args.integrator_type,
                         n_gmm_components=args.n_components,
                         em_type=args.em_type, mcmc_step_size=1e-4,
-                        ebm_kwargs={"ebm_epochs": args.ebm_epochs}))
+                        ebm_kwargs={
+                            "ebm_epochs": args.ebm_epochs,
+                            "ebm_batch_size": args.ebm_batch_size,
+                            "n_accumulation_steps": args.ebm_n_accumulation_steps,
+                            "n_levels": args.ebm_n_levels,
+                            "n_mcmc_steps": args.ebm_n_mcmc_steps,
+                            "lr": args.ebm_lr,
+                            "decay": args.ebm_decay,
+                            "t_limit": args.ebm_t_limit,
+                            "net_layers": args.ebm_net_layers,
+                            "net_channels": args.ebm_net_channels,
+                            "perc_keep_mcmc": 0.5,
+                            "swap_frequency": 8,
+                            "initial_n_warmup_mcmc_steps": 4096,
+                            "step_size": 1e-3,
+                        }))
     dump_results(args.results_path, filename, config, dump)

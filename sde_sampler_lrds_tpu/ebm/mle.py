@@ -145,19 +145,28 @@ class MaximumLikelihoodEBM:
     def train(self, key, data: jnp.ndarray, batch_size: int, n_epochs: int,
               reweight_loss: bool = False, lr: float = 3e-4, decay: float = 0.0,
               clip_val: float = 1.0, initial_n_warmup_mcmc_steps: int = 1024,
-              n_mcmc_steps: int = 32, reg_val: float = 0.0,
-              use_ema: bool = False, ema_decay: float = 0.995,
-              batches_per_call: int = 1, verbose: bool = False):
+              n_mcmc_steps: int = 32, n_accumulation_steps: int = 1,
+              reg_val: float = 0.0, use_ema: bool = False,
+              ema_decay: float = 0.995, batches_per_call: int = 1,
+              verbose: bool = False):
         """Fused contrastive-MLE training.
 
         The first batch (with its long ``initial_n_warmup_mcmc_steps`` warmup)
         runs as one jitted call; the remaining ``n_epochs × n_batches − 1``
         updates are fused ``batches_per_call`` at a time into a single
         ``lax.scan`` whose carry holds (params, opt state, EMA, per-level MCMC
-        step sizes, persistent replica state). Per-step PRNG keys are derived
-        by ``fold_in`` on the global step index, so results are bit-identical
-        for every ``batches_per_call`` value; NaN/divergence aborts
-        (ebm_mle.py:760-767) are checked on the host after each fused call.
+        step sizes, persistent replica state, current negative pool). Per-step
+        PRNG keys are derived by ``fold_in`` on the global step index, so
+        results are bit-identical for every ``batches_per_call`` value;
+        NaN/divergence aborts (ebm_mle.py:760-767) are checked on the host
+        after each fused call.
+
+        ``n_accumulation_steps`` = A > 1 reproduces the reference's gradient
+        accumulation (ebm_mle.py:702,785): negatives are resampled every A
+        batches and reused in between, while optax.MultiSteps averages the A
+        micro-gradients into one optimizer step. (Because the params are
+        frozen within a group, recomputing the negative energy each
+        micro-step is exactly the reference's retain_graph re-backward.)
 
         Returns (losses, grad_norms, diagnostics).
         """
@@ -176,9 +185,15 @@ class MaximumLikelihoodEBM:
         eff_batch = min(batch_size * n_kept, data.shape[0]) \
             if self.sampler_type != "cd" else batch_size
 
+        n_acc = int(n_accumulation_steps)
+        if n_acc != 1 and self.sampler_type == "cd":
+            raise ValueError(
+                "Can't use n_accumulation_steps != 1 if sampler_type is CD.")
         tx = optax.adamw(lr, weight_decay=decay) if decay > 0 else optax.adam(lr)
         if clip_val > 0:
             tx = optax.chain(optax.clip_by_global_norm(clip_val), tx)
+        if n_acc > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=n_acc)
         opt_state = tx.init(self.params)
 
         ts_pos = jnp.repeat(self.times, eff_batch)  # (L*eff_batch,)
@@ -228,16 +243,30 @@ class MaximumLikelihoodEBM:
             for e in range(n_epochs)]).reshape(total_steps, eff_batch)
         step_ids = jnp.arange(total_steps)
 
-        def one_step(params, opt_state, ema, step_sizes, persistent, idx,
-                     step_id, warm):
+        def one_step(params, opt_state, ema, step_sizes, persistent, neg_pool,
+                     idx, step_id, warm, force_sample: bool):
             k = jax.random.fold_in(k_step, step_id)
             k_noise, k_neg = jax.random.split(k)
             batch = jnp.take(data, idx, axis=0)
             eps = jax.random.normal(k_noise, (ts_pos.shape[0], dim))
             xs_pos = mean_f * jnp.tile(batch, (L, 1)) + std_f * eps
-            xs_neg, step_sizes, persistent, diags = self.sample_negatives(
-                params, k_neg, batch_size, step_sizes, warm, n_kept,
-                persistent=persistent, xs_pos=xs_pos if is_cd else None)
+
+            def sample(_):
+                return self.sample_negatives(
+                    params, k_neg, batch_size, step_sizes, warm, n_kept,
+                    persistent=persistent, xs_pos=xs_pos if is_cd else None)
+
+            if force_sample or n_acc == 1:
+                xs_neg, step_sizes_n, persistent_n, diags = sample(None)
+            else:
+                # accumulation group: refresh the negative pool every n_acc
+                # steps, reuse it (and the sampler state) in between
+                xs_neg_p, diags_p = neg_pool
+                xs_neg, step_sizes_n, persistent_n, diags = jax.lax.cond(
+                    (step_id % n_acc) == 0, sample,
+                    lambda _: (xs_neg_p, step_sizes, persistent, diags_p),
+                    None)
+            neg_pool = (xs_neg, diags)
             ts_neg = jnp.repeat(self.times, xs_neg.shape[0] // L)
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, ts_pos, xs_pos, ts_neg, xs_neg)
@@ -250,22 +279,24 @@ class MaximumLikelihoodEBM:
             else:
                 ema = params
             diag_means = jax.tree.map(jnp.mean, diags)
-            return params, opt_state, ema, step_sizes, persistent, loss, gnorm, \
-                diag_means
+            return params, opt_state, ema, step_sizes_n, persistent_n, \
+                neg_pool, loss, gnorm, diag_means
 
         @jax.jit
         def first_step(params, opt_state, ema, step_sizes, persistent, idx,
                        step_id):
             return one_step(params, opt_state, ema, step_sizes, persistent,
-                            idx, step_id, initial_n_warmup_mcmc_steps)
+                            None, idx, step_id, initial_n_warmup_mcmc_steps,
+                            force_sample=True)
 
         def scan_body(carry, inp):
-            params, opt_state, ema, step_sizes, persistent = carry
+            params, opt_state, ema, step_sizes, persistent, neg_pool = carry
             idx, step_id = inp
-            params, opt_state, ema, step_sizes, persistent, loss, gnorm, dm = \
-                one_step(params, opt_state, ema, step_sizes, persistent, idx,
-                         step_id, n_warmup)
-            return (params, opt_state, ema, step_sizes, persistent), \
+            params, opt_state, ema, step_sizes, persistent, neg_pool, loss, \
+                gnorm, dm = one_step(params, opt_state, ema, step_sizes,
+                                     persistent, neg_pool, idx, step_id,
+                                     n_warmup, force_sample=False)
+            return (params, opt_state, ema, step_sizes, persistent, neg_pool), \
                 (loss, gnorm, dm)
 
         @jax.jit
@@ -287,10 +318,10 @@ class MaximumLikelihoodEBM:
         losses, grad_norms, diagnostics = [], [], []
         # first batch: long initial warmup, also normalizes the persistent
         # replica state to the re_sampler's (x, lp, grad) tuple for the scan
-        self.params, opt_state, self.ema_params, step_sizes, persistent, loss, \
-            gnorm, dm = first_step(self.params, opt_state, self.ema_params,
-                                   step_sizes, persistent, idx_all[0],
-                                   step_ids[0])
+        self.params, opt_state, self.ema_params, step_sizes, persistent, \
+            neg_pool, loss, gnorm, dm = first_step(
+                self.params, opt_state, self.ema_params, step_sizes,
+                persistent, idx_all[0], step_ids[0])
         loss_block = np.asarray([float(loss)])
         check_abort(loss_block, 0)
         losses.append(float(loss))
@@ -299,7 +330,8 @@ class MaximumLikelihoodEBM:
 
         spc = max(int(batches_per_call), 1)
         pos = 1
-        carry = (self.params, opt_state, self.ema_params, step_sizes, persistent)
+        carry = (self.params, opt_state, self.ema_params, step_sizes,
+                 persistent, neg_pool)
         while pos < total_steps:
             hi = min(pos + spc, total_steps)
             # the ragged tail compiles once more at its shorter scan length
@@ -315,5 +347,6 @@ class MaximumLikelihoodEBM:
             for i in range(hi - pos):
                 diagnostics.append(jax.tree.map(lambda v: float(v[i]), dm_host))
             pos = hi
-        self.params, opt_state, self.ema_params, step_sizes, persistent = carry
+        self.params, opt_state, self.ema_params, step_sizes, persistent, _ = \
+            carry
         return np.asarray(losses), np.asarray(grad_norms), diagnostics

@@ -139,6 +139,39 @@ def test_mle_ebm_fused_matches_unfused(sampler):
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), p1, p4)
 
 
+def test_mle_ebm_gradient_accumulation():
+    """A>1 reproduces the reference's accumulation (ebm_mle.py:702,785):
+    negatives refresh every A batches, one optimizer step per group, and the
+    fused scan matches batches_per_call=1 exactly."""
+    sde = VP()
+    target = GMM(dim=2, loc=MEANS, scale=jnp.sqrt(VARS), mixture_weights=WEIGHTS)
+    prior = Gauss(dim=2, loc=0.0, scale=1.0)
+    data = target.sample(jax.random.PRNGKey(4), (256,))
+
+    def run(bpc):
+        trainer = MaximumLikelihoodEBM(
+            sde, prior, make_potential(sde), sampler_type="replica_exchange",
+            step_sizes_per_noise=1e-2, n_steps=4)
+        losses, gnorms, _ = trainer.train(
+            jax.random.PRNGKey(5), data, batch_size=32, n_epochs=2,
+            initial_n_warmup_mcmc_steps=4, n_mcmc_steps=4,
+            n_accumulation_steps=3, batches_per_call=bpc)
+        return losses, trainer.params
+
+    l1, p1 = run(1)
+    l4, p4 = run(4)
+    assert np.isfinite(l1).all() and len(l1) == len(l4)
+    np.testing.assert_allclose(l1, l4, rtol=1e-5, atol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), p1, p4)
+    with pytest.raises(ValueError):
+        MaximumLikelihoodEBM(
+            sde, prior, make_potential(sde), sampler_type="cd",
+            step_sizes_per_noise=1e-2, n_steps=4, use_ula=True).train(
+            jax.random.PRNGKey(5), data, batch_size=32, n_epochs=1,
+            n_accumulation_steps=2)
+
+
 def test_daebm_trains():
     sde = VP()
     target = Gauss(dim=2, loc=0.5, scale=0.8)
