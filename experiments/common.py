@@ -288,7 +288,9 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
                         net_layers=4, net_channels=64, t_limit=0.0,
                         lr=3e-4, decay=0.0, perc_keep_mcmc=-1.0,
                         swap_frequency=16, initial_n_warmup_mcmc_steps=64,
-                        n_accumulation_steps=1, means_init=None):
+                        n_accumulation_steps=1, means_init=None,
+                        reg_val=0.0, reweight_loss=False, use_ema=False,
+                        return_trainer=False):
     """Fit a GMM on the dataset, tilt it with a neural energy, and train the
     EBM by RE-based contrastive MLE (the *_ebm_mcmc.py reference pipeline:
     fit_gmm -> GMMTiltedPotential -> MaximumLikelihoodEBM.train). Returns the
@@ -327,18 +329,25 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
     t0 = time.time()
     stage(f"training EBM reference ({ebm_epochs} epochs, {n_levels} levels, "
           f"batch {ebm_batch_size} x acc {n_accumulation_steps})")
-    trainer.train(key, jnp.asarray(dataset), batch_size=ebm_batch_size,
-                  n_epochs=ebm_epochs, lr=lr, decay=decay,
-                  initial_n_warmup_mcmc_steps=initial_n_warmup_mcmc_steps,
-                  n_mcmc_steps=n_mcmc_steps,
-                  n_accumulation_steps=n_accumulation_steps,
-                  batches_per_call=batches_per_call)
+    losses, gnorms, diags = trainer.train(
+        key, jnp.asarray(dataset), batch_size=ebm_batch_size,
+        n_epochs=ebm_epochs, lr=lr, decay=decay,
+        initial_n_warmup_mcmc_steps=initial_n_warmup_mcmc_steps,
+        n_mcmc_steps=n_mcmc_steps, reg_val=reg_val,
+        reweight_loss=reweight_loss, use_ema=use_ema,
+        n_accumulation_steps=n_accumulation_steps,
+        batches_per_call=batches_per_call)
     t_train = time.time() - t0
     stage(f"EBM reference done in {t_train:.1f}s")
     params = trainer.ema_params
     net_score = lambda t, x: pot.apply(params, t, x)
     net_log_prob = lambda t, x: pot.apply(params, t, x, method="unnorm_log_prob")
-    return (net_score, net_log_prob), {"ebm_train": t_train}
+    extra = {"ebm_train": t_train}
+    if return_trainer:
+        extra["trainer"] = trainer
+        extra["losses"] = losses
+        extra["grad_norms"] = gnorms
+    return (net_score, net_log_prob), extra
 
 
 def ebm_run(args, target, target_details, x_init, extra_params=None,

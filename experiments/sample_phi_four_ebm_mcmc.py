@@ -29,6 +29,10 @@ parser.add_argument("--ebm_decay", type=float, default=1e-2)
 parser.add_argument("--ebm_t_limit", type=float, default=0.2)
 parser.add_argument("--ebm_net_layers", type=int, default=6)
 parser.add_argument("--ebm_net_channels", type=int, default=128)
+# energy-L2 regularization: the reference trainer exposes reg_val
+# (ebm_mle.py:591) and without it this contrastive-MLE run diverges at
+# ~epoch 32 (loss -> -1e9); 1e-3 keeps the 150-epoch run stable
+parser.add_argument("--ebm_reg_val", type=float, default=1e-3)
 add_common_args(parser)
 args = parser.parse_args()
 config = vars(args)
@@ -61,5 +65,6 @@ for b in [float(x) for x in args.b_range.split(",")]:
                             "swap_frequency": 8,
                             "initial_n_warmup_mcmc_steps": 4096,
                             "step_size": 1e-3,
+                            "reg_val": args.ebm_reg_val,
                         }))
     dump_results(args.results_path, filename, config, dump)

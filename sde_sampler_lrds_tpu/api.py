@@ -401,28 +401,42 @@ def mcmc_sample(key, target, x_init, mcmc_type: str = "mala", step_size: float =
 
 
 def fit_gmm(n_components: int, dataset, means_init=None, em_type: str = "diag",
-            max_iter: int = 1000):
-    """sklearn EM with a reg_covar sweep (benchmark_utils.py:336).
+            max_iter: int = 1000, backend: str = "jax"):
+    """EM with a reg_covar sweep (benchmark_utils.py:336).
 
     Returns (weights, means, variances) as jnp arrays; variances diagonal
     (K, D) for em_type='diag' or full (K, D, D) for 'full'.
-    """
-    from sklearn.mixture import GaussianMixture
 
+    backend='jax' (default) runs device-resident EM (utils/gmm_fit.py) —
+    seconds where sklearn's single-core fit takes minutes at experiment
+    scale; backend='sklearn' keeps the reference's exact fitter.
+    """
     data = np.asarray(dataset).reshape(-1, np.asarray(dataset).shape[-1])
     last_err = None
     for reg_covar in (1e-6, 5e-5, 1e-5, 5e-4, 1e-4, 5e-3, 1e-3, 5e-2, 1e-2):
         try:
-            gmm = GaussianMixture(
-                n_components=n_components, covariance_type=em_type,
-                means_init=None if means_init is None else np.asarray(means_init),
-                reg_covar=reg_covar, max_iter=max_iter).fit(data)
-            w = jnp.asarray(gmm.weights_, jnp.float32)
-            m = jnp.asarray(gmm.means_, jnp.float32)
-            v = jnp.asarray(gmm.covariances_, jnp.float32)
+            if backend == "jax":
+                from .utils.gmm_fit import fit_gmm_em
+
+                w, m, v, _ = fit_gmm_em(
+                    n_components, jnp.asarray(data), means_init=means_init,
+                    em_type=em_type, max_iter=max_iter, reg_covar=reg_covar)
+            else:
+                from sklearn.mixture import GaussianMixture
+
+                gmm = GaussianMixture(
+                    n_components=n_components, covariance_type=em_type,
+                    means_init=None if means_init is None else np.asarray(means_init),
+                    reg_covar=reg_covar, max_iter=max_iter).fit(data)
+                w, m, v = gmm.weights_, gmm.means_, gmm.covariances_
+            w = jnp.asarray(w, jnp.float32)
+            m = jnp.asarray(m, jnp.float32)
+            v = jnp.asarray(v, jnp.float32)
             if not (bool(jnp.all(jnp.isfinite(w))) and bool(jnp.all(jnp.isfinite(m)))
                     and bool(jnp.all(jnp.isfinite(v)))):
                 raise ValueError("non-finite GMM parameters")
+            if bool(jnp.any(w < 1e-8)):
+                raise ValueError("collapsed GMM component")
             return w, m, v
         except Exception as e:  # pragma: no cover - sweep fallback
             last_err = e

@@ -128,6 +128,28 @@ def test_fit_gmm_full_covariance():
     assert v.shape == (2, 3, 3)
 
 
+@pytest.mark.parametrize("em_type", ["diag", "full"])
+def test_fit_gmm_jax_matches_sklearn(em_type):
+    """Device-resident EM (utils/gmm_fit.py) recovers the same mixture as the
+    reference's sklearn fitter on a well-separated 2-component problem."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    a = jax.random.normal(k1, (3000, 4)) * 0.5 + jnp.asarray([3.0, 0.0, 0.0, 0.0])
+    b = jax.random.normal(k2, (1500, 4)) * 0.8 - jnp.asarray([3.0, 0.0, 0.0, 0.0])
+    data = jnp.concatenate([a, b])
+    mi = jnp.asarray([[2.0, 0, 0, 0], [-2.0, 0, 0, 0]])
+    w_j, m_j, v_j = fit_gmm(2, data, means_init=mi, em_type=em_type,
+                            backend="jax")
+    w_s, m_s, v_s = fit_gmm(2, data, means_init=mi, em_type=em_type,
+                            backend="sklearn")
+    np.testing.assert_allclose(np.asarray(w_j), np.asarray(w_s), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(m_j), np.asarray(m_s), atol=5e-2)
+    diag_j = np.asarray(v_j if em_type == "diag"
+                        else jnp.diagonal(v_j, axis1=-2, axis2=-1))
+    diag_s = np.asarray(v_s if em_type == "diag"
+                        else jnp.diagonal(v_s, axis1=-2, axis2=-1))
+    np.testing.assert_allclose(diag_j, diag_s, rtol=0.05, atol=5e-2)
+
+
 def test_tempering_smc_and_re_baselines():
     target = TwoModes(dim=2, n_reference_samples=16384)
     mean = jnp.zeros(2)
