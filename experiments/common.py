@@ -373,7 +373,20 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
     net, ebm_times = train_ebm_reference(
         k_ebm, dataset, mean, var_diag, n_gmm_components=n_gmm_components,
         em_type=em_type, **ebm_kwargs)
-    times.update(ebm_times)
+    ebm_times.pop("trainer", None)
+    times.update({k: v for k, v in ebm_times.items()
+                  if isinstance(v, (int, float))})
+    # forward ESS of the learned reference on dataset samples — the
+    # reference-quality diagnostic of sample_phi_four_ebm_mcmc.py:212-230
+    _, net_log_prob = net
+    n_diag = min(8192, dataset.shape[0])
+    xs_d = dataset[:n_diag]
+    lw = net_log_prob(jnp.full((n_diag,), 1e-4), xs_d) \
+        - target.unnorm_log_prob(xs_d)
+    fwd_ess = float(jnp.exp(
+        2.0 * jax.scipy.special.logsumexp(lw)
+        - jax.scipy.special.logsumexp(2.0 * lw))) / n_diag
+    stage(f"EBM reference forward ESS on data: {fwd_ess:.4f}")
     _, all_metrics = run_vi(
         k_vi, solver_type, target_details, {"sigma": 1.0, "net": net},
         {"train_steps": args.train_steps,
@@ -383,4 +396,5 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
         integrator_type=integrator_type, time_type=time_type,
         model_type="base_zero_init", n_steps=args.n_steps)
     return {"metrics": all_metrics, "times": times, "params": extra_params or {},
+            "forward_ess_ebm": fwd_ess,
             "gauss_params": {"mean": np.asarray(mean), "var": np.asarray(var)}}

@@ -29,16 +29,21 @@ def _component_log_prob_diag(x, means, variances):
 
 
 def _component_log_prob_full(x, means, chols):
-    """x (B, D), means (K, D), chols (K, D, D) lower -> (B, K)."""
-    diff = x[:, None, :] - means[None]                       # (B, K, D)
-    # solve L y = diff  ->  y = L^{-1} diff ; quad = |y|^2
-    y = jax.vmap(
-        lambda L, d: jax.scipy.linalg.solve_triangular(L, d.T, lower=True).T,
-        in_axes=(0, 1), out_axes=1)(chols, diff)             # (B, K, D)
+    """x (B, D), means (K, D), chols (K, D, D) lower -> (B, K).
+
+    Inverts each D x D Cholesky factor once (tiny triangular solve), then the
+    per-sample work is one batched (B, K, D) x (K, D, D) contraction that
+    rides the MXU — a 40k-row solve_triangular here is bandwidth-bound and
+    ~10x slower on TPU.
+    """
+    d = x.shape[-1]
+    inv_l = jax.vmap(lambda L: jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(d), lower=True))(chols)                   # (K, D, D)
+    y = jnp.einsum("ked,bkd->bke", inv_l, x[:, None, :] - means[None])
     quad = jnp.sum(y * y, axis=-1)
     log_det = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(chols, axis1=-2, axis2=-1)), axis=-1)
-    return -0.5 * (quad + log_det[None] + x.shape[-1] * _LOG_2PI)
+    return -0.5 * (quad + log_det[None] + d * _LOG_2PI)
 
 
 @partial(jax.jit, static_argnames=("n_components", "em_type", "max_iter"))
@@ -79,21 +84,19 @@ def _em_fit(x, init_means, n_components: int, em_type: str, max_iter: int,
                 + reg_covar
         return nk / n, means, covs
 
+    # one E-step per iteration; convergence on the change of the E-step
+    # log-likelihood between successive iterations (sklearn's lower_bound)
     def cond(state):
         _, _, _, prev_ll, ll, it = state
         return (it < max_iter) & (jnp.abs(ll - prev_ll) > tol)
 
     def body(state):
         weights, means, covs, _, ll, it = state
-        resp, _ = e_step(weights, means, covs)
+        resp, new_ll = e_step(weights, means, covs)
         weights, means, covs = m_step(resp)
-        _, new_ll = e_step(weights, means, covs)
         return weights, means, covs, ll, new_ll, it + 1
 
-    resp, ll0 = e_step(weights, means, covs)
-    weights, means, covs = m_step(resp)
-    _, ll1 = e_step(weights, means, covs)
-    state = (weights, means, covs, ll0, ll1, jnp.asarray(1))
+    state = (weights, means, covs, -jnp.inf, jnp.inf, jnp.asarray(0))
     weights, means, covs, _, ll, n_iter = jax.lax.while_loop(cond, body, state)
     return weights, means, covs, ll, n_iter
 
