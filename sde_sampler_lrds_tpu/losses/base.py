@@ -56,7 +56,11 @@ class BaseOCLoss:
         sde_ctrl_noise: float | None = None,
         sde_ctrl_dropout: float | None = None,
         remat: bool = True,
-        unroll: int = 1,
+        # 4-step scan unroll amortizes the TPU per-iteration overhead:
+        # interleaved A/B at the demo protocol measured eval 3.37 -> 3.06 ms
+        # (+10%) and training 3.37 -> 2.51 ms/opt step (-26%), identical
+        # numerics; unroll >= 8 regresses (docs/RESULTS.md microbenchmarks)
+        unroll: int = 4,
     ):
         if method not in ("kl", "kl_ito", "lv", "lv_traj"):
             raise ValueError("Unknown loss method.")
