@@ -364,7 +364,10 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
     # (reference sample_phi_four_ebm_mcmc.py:109 uses target.x_min)
     if getattr(target, "x_min", None) is None and \
             hasattr(target, "compute_stats_integration"):
-        target.compute_stats_integration()
+        try:
+            target.compute_stats_integration()
+        except (ValueError, NotImplementedError):
+            pass  # targets without a quadrature domain have no known minima
     x_min = getattr(target, "x_min", None)
     if x_min is not None and n_gmm_components % x_min.shape[0] == 0:
         reps = n_gmm_components // x_min.shape[0]
