@@ -290,7 +290,7 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
                         swap_frequency=16, initial_n_warmup_mcmc_steps=64,
                         n_accumulation_steps=1, means_init=None,
                         reg_val=0.0, reweight_loss=False, use_ema=False,
-                        return_trainer=False):
+                        use_precond=False, return_trainer=False):
     """Fit a GMM on the dataset, tilt it with a neural energy, and train the
     EBM by RE-based contrastive MLE (the *_ebm_mcmc.py reference pipeline:
     fit_gmm -> GMMTiltedPotential -> MaximumLikelihoodEBM.train). Returns the
@@ -326,6 +326,26 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
                         step_sizes_per_noise=step_size, n_steps=n_levels,
                         perc_keep_mcmc=perc_keep_mcmc,
                         swap_frequency=swap_frequency)
+    if use_precond:
+        # Precondition the negative-sampling MALA with the per-level noised
+        # data covariance s²(t)(Σ_data + σ²(t)I): the heterogeneous scales of
+        # e.g. logreg posteriors otherwise force a single scalar step size to
+        # the smallest scale (mcmc.py:137 / arXiv:2305.14442). Built in the
+        # eigenbasis so the "Cholesky" factor is P·diag(√λ_t) (any square
+        # root works for the proposal noise).
+        cov = np.cov(np.asarray(dataset).T) + 1e-6 * np.eye(dim)
+        eig_c, p_c = np.linalg.eigh(cov)
+        t_levels = trainer.times
+        s2 = np.asarray(sde.s(t_levels)) ** 2
+        sig = np.asarray(sde.sigma_sq(t_levels))
+        lam = s2[:, None] * (np.maximum(eig_c, 1e-8)[None] + sig[:, None])
+        pm = jnp.asarray(np.einsum("de,le,fe->ldf", p_c, lam, p_c),
+                         jnp.float32)
+        pchol = jnp.asarray(np.einsum("de,le->lde", p_c, np.sqrt(lam)),
+                            jnp.float32)
+        trainer.precond_matrix_per_noise = pm
+        trainer.precond_matrix_chol_per_noise = pchol
+        trainer.use_precond = True
     t0 = time.time()
     stage(f"training EBM reference ({ebm_epochs} epochs, {n_levels} levels, "
           f"batch {ebm_batch_size} x acc {n_accumulation_steps})")

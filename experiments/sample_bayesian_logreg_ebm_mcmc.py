@@ -25,6 +25,9 @@ parser.add_argument("--ebm_n_accumulation_steps", type=int, default=5)
 parser.add_argument("--ebm_lr", type=float, default=1e-4)
 parser.add_argument("--ebm_n_levels", type=int, default=100)
 parser.add_argument("--ebm_reg_val", type=float, default=0.0)
+parser.add_argument("--ebm_use_precond", action="store_true",
+                    help="precondition negative-sampling MALA with the "
+                         "per-level noised data covariance")
 add_common_args(parser)
 args = parser.parse_args()
 config = vars(args)
@@ -56,5 +59,6 @@ for name in args.datasets.split(","):
                             "initial_n_warmup_mcmc_steps": 512,
                             "step_size": 1e-3,
                             "reg_val": args.ebm_reg_val,
+                            "use_precond": args.ebm_use_precond,
                         }))
     dump_results(args.results_path, filename, config, dump)

@@ -298,8 +298,17 @@ def re_sampler(
     use_precond = precond_matrix_per_noise is not None
     pm = pc = None
     if use_precond:
-        pm = precond_matrix_per_noise.reshape(-1, D, D)
-        pc = precond_matrix_chol_per_noise.reshape(-1, D, D)
+        # per-level (L, D, D) matrices expanded per chain to match the
+        # flattened (L*B, D) super-batch the kernels see; (L*B, D, D) also
+        # accepted directly
+        def _expand(mat):
+            mat = jnp.asarray(mat)
+            if mat.ndim == 3 and mat.shape[0] == L:
+                mat = jnp.broadcast_to(mat[:, None], (L, batch, D, D))
+            return mat.reshape(-1, D, D)
+
+        pm = _expand(precond_matrix_per_noise)
+        pc = _expand(precond_matrix_chol_per_noise)
 
     local_lpg = lambda y: log_prob_and_grads(t_flat, y)
     if init_state is None:

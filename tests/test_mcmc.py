@@ -203,3 +203,27 @@ def test_re_sampler_two_modes():
         step_sizes_per_noise=jnp.full((L,), 0.05),
         init_state=final_state, start_step=400)
     assert samples2.shape == (L, 4, B, 2)
+
+
+def test_re_sampler_identity_precond_matches_plain():
+    """Per-level (L, D, D) preconditioning in re_sampler: identity matrices
+    reproduce plain MALA exactly (the Prop-1 optimized ratio is exact, and
+    the key/noise schedule is shared)."""
+    target = TwoModes(dim=2, n_reference_samples=10_000)
+    prior = Gauss(dim=2, loc=0.0, scale=2.0)
+    lpg = _tempering_lpg(target, prior)
+    L, B = 4, 32
+    times = jnp.linspace(0.0, 1.0, L)
+    x0 = prior.sample(jax.random.PRNGKey(0), (B,))
+    kwargs = dict(swap_frequency=4, n_warmup_mcmc_steps=8, n_mcmc_steps=8,
+                  step_sizes_per_noise=jnp.full((L,), 0.05))
+    s_plain, ss_p, _, _ = re_sampler(jax.random.PRNGKey(1), x0, times, lpg,
+                                     **kwargs)
+    eye = jnp.broadcast_to(jnp.eye(2)[None], (L, 2, 2))
+    s_prec, ss_q, _, _ = re_sampler(jax.random.PRNGKey(1), x0, times, lpg,
+                                    precond_matrix_per_noise=eye,
+                                    precond_matrix_chol_per_noise=eye,
+                                    **kwargs)
+    np.testing.assert_allclose(np.asarray(s_plain), np.asarray(s_prec),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ss_p), np.asarray(ss_q), rtol=1e-6)
