@@ -381,9 +381,14 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
         k_data, target, x_init, args.dataset_size, step_size=mcmc_step_size)
     ebm_kwargs = dict(ebm_kwargs or {})
     # seed the GMM EM at the energy minima when the target knows them
-    # (reference sample_phi_four_ebm_mcmc.py:109 uses target.x_min)
+    # (reference sample_phi_four_ebm_mcmc.py:109 uses target.x_min); probe
+    # only targets that override compute_stats_integration (PhiFour) — the
+    # base implementation runs a full Boole quadrature and never sets x_min
+    from sde_sampler_lrds_tpu.targets.base import Target as _TargetBase
+
     if getattr(target, "x_min", None) is None and \
-            hasattr(target, "compute_stats_integration"):
+            type(target).compute_stats_integration \
+            is not _TargetBase.compute_stats_integration:
         try:
             target.compute_stats_integration()
         except (ValueError, NotImplementedError):
@@ -391,8 +396,15 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
     x_min = getattr(target, "x_min", None)
     if x_min is not None and n_gmm_components % x_min.shape[0] == 0:
         reps = n_gmm_components // x_min.shape[0]
-        ebm_kwargs.setdefault("means_init", np.repeat(
-            np.asarray(x_min), reps, axis=0))
+        mi = np.repeat(np.asarray(x_min), reps, axis=0)
+        if reps > 1:
+            # break the exact duplication: EM preserves symmetry, so
+            # identical initial means never separate — jitter the copies
+            # by a small data-scaled offset (deterministic in the seed)
+            rng = np.random.default_rng(args.seed)
+            scale = 0.05 * np.asarray(dataset.std(axis=0))
+            mi = mi + rng.normal(size=mi.shape) * scale[None]
+        ebm_kwargs.setdefault("means_init", mi)
     net, ebm_times = train_ebm_reference(
         k_ebm, dataset, mean, var_diag, n_gmm_components=n_gmm_components,
         em_type=em_type, **ebm_kwargs)

@@ -413,14 +413,20 @@ def fit_gmm(n_components: int, dataset, means_init=None, em_type: str = "diag",
     """
     data = np.asarray(dataset).reshape(-1, np.asarray(dataset).shape[-1])
     last_err = None
-    for reg_covar in (1e-6, 5e-5, 1e-5, 5e-4, 1e-4, 5e-3, 1e-3, 5e-2, 1e-2):
+    regs = (1e-6, 5e-5, 1e-5, 5e-4, 1e-4, 5e-3, 1e-3, 5e-2, 1e-2)
+    # jax backend first, then the sklearn fitter as a genuinely different
+    # retry (weight collapse is seeding-dependent, not reg-dependent)
+    attempts = [("jax", r) for r in regs] + [("sklearn", r) for r in regs] \
+        if backend == "jax" else [(backend, r) for r in regs]
+    for attempt_id, (bk, reg_covar) in enumerate(attempts):
         try:
-            if backend == "jax":
+            if bk == "jax":
                 from .utils.gmm_fit import fit_gmm_em
 
                 w, m, v, _ = fit_gmm_em(
                     n_components, jnp.asarray(data), means_init=means_init,
-                    em_type=em_type, max_iter=max_iter, reg_covar=reg_covar)
+                    em_type=em_type, max_iter=max_iter, reg_covar=reg_covar,
+                    key=jax.random.PRNGKey(attempt_id))
             else:
                 from sklearn.mixture import GaussianMixture
 

@@ -274,7 +274,15 @@ class MaximumLikelihoodEBM:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if use_ema:
-                ema = jax.tree.map(lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                if n_acc > 1:
+                    # blend only at accumulation-group boundaries — params
+                    # change once per group, and blending every micro-step
+                    # would compound the decay to ema_decay**A per update
+                    is_update = ((step_id + 1) % n_acc) == 0
+                    d = jnp.where(is_update, ema_decay, 1.0)
+                else:
+                    d = ema_decay
+                ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
                                    ema, params)
             else:
                 ema = params

@@ -32,30 +32,56 @@ def _cache_dir() -> Path:
     return Path.home() / ".cache" / "sde_sampler_lrds_tpu"
 
 
+_FLAGS = ["-O3", "-march=native", "-ffast-math", "-fopenmp", "-shared",
+          "-fPIC", "-std=c++17"]
+
+
+def _compiler_tag() -> bytes:
+    """Host/compiler fingerprint for the cache key: a -march=native binary
+    built on one CPU generation must not be loaded on another (SIGILL on
+    shared home dirs), and flag/compiler changes must rebuild."""
+    import platform
+
+    try:
+        ver = subprocess.run(["g++", "--version"], capture_output=True,
+                             text=True, timeout=10).stdout.splitlines()[0]
+    except (OSError, subprocess.TimeoutExpired, IndexError):
+        ver = "unknown"
+    return f"{ver}|{platform.machine()}|{' '.join(_FLAGS)}".encode()
+
+
 def build_sinkhorn_lib(verbose: bool = False) -> Path | None:
-    """Compile the shared library if needed; returns its path or None."""
+    """Compile the shared library if needed; returns its path or None.
+
+    Concurrent-build safe: each process compiles to a unique mkstemp path
+    and publishes with an atomic os.replace, so racing builders can only
+    ever install a complete object.
+    """
     if not _SRC.exists():
         return None
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    tag = hashlib.sha256(src + b"\0" + _compiler_tag()).hexdigest()[:16]
     out = _cache_dir() / f"sinkhorn_cpu_{tag}.so"
     if out.exists():
         return out
     out.parent.mkdir(parents=True, exist_ok=True)
     # -ffast-math lets gcc vectorize the exp loops through libmvec (the
     # wrapper clamps log-weights so no input is ±inf/NaN)
-    cmd = ["g++", "-O3", "-march=native", "-ffast-math", "-fopenmp",
-           "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o",
-           str(out) + ".tmp"]
+    fd, tmp = tempfile.mkstemp(dir=out.parent, suffix=".so.tmp")
+    os.close(fd)
+    cmd = ["g++", *_FLAGS, str(_SRC), "-o", tmp]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if res.returncode != 0:
+            if verbose:
+                print(res.stderr)
+            return None
+        os.replace(tmp, out)
     except (OSError, subprocess.TimeoutExpired):
         return None
-    if res.returncode != 0:
-        if verbose:
-            print(res.stderr)
-        return None
-    os.replace(str(out) + ".tmp", out)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return out
 
 

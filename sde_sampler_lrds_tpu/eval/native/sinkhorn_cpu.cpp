@@ -43,7 +43,7 @@ inline double dist_p(const float* xi, const float* yj, int d, int p) {
     return s;
   }
   for (int k = 0; k < d; ++k)
-    s += std::pow(double(xi[k]) - double(yj[k]), p);
+    s += std::pow(std::fabs(double(xi[k]) - double(yj[k])), p);
   return std::pow(s, 1.0 / double(p));
 }
 

@@ -25,7 +25,8 @@ def _pairwise_m(xb: jnp.ndarray, y: jnp.ndarray, p: int) -> jnp.ndarray:
         sq = (xb**2).sum(-1)[:, None] + (y**2).sum(-1)[None, :] \
             - 2.0 * xb @ y.T
         return jnp.sqrt(jnp.maximum(sq, 0.0))
-    return ((xb[:, None, :] - y[None, :, :]) ** p).sum(-1) ** (1.0 / p)
+    # p-norm needs |Δ|^p — a signed power is NaN-prone for odd p
+    return (jnp.abs(xb[:, None, :] - y[None, :, :]) ** p).sum(-1) ** (1.0 / p)
 
 
 class Sinkhorn:

@@ -155,15 +155,24 @@ def test_mle_ebm_gradient_accumulation():
         losses, gnorms, _ = trainer.train(
             jax.random.PRNGKey(5), data, batch_size=32, n_epochs=2,
             initial_n_warmup_mcmc_steps=4, n_mcmc_steps=4,
-            n_accumulation_steps=3, batches_per_call=bpc)
-        return losses, trainer.params
+            n_accumulation_steps=3, batches_per_call=bpc,
+            use_ema=True, ema_decay=0.9)
+        return losses, trainer.params, trainer.ema_params
 
-    l1, p1 = run(1)
-    l4, p4 = run(4)
+    l1, p1, e1 = run(1)
+    l4, p4, e4 = run(4)
     assert np.isfinite(l1).all() and len(l1) == len(l4)
     np.testing.assert_allclose(l1, l4, rtol=1e-5, atol=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), p1, p4)
+    # EMA blends once per accumulation group (not per micro-step) and is
+    # fusion-invariant too
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), e1, e4)
+    leaves_p = jax.tree.leaves(p1)
+    leaves_e = jax.tree.leaves(e1)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(leaves_p, leaves_e)), "EMA should lag params"
     with pytest.raises(ValueError):
         MaximumLikelihoodEBM(
             sde, prior, make_potential(sde), sampler_type="cd",

@@ -61,6 +61,11 @@ def test_sinkhorn_native_matches_xla():
     assert abs(d_nat_w - d_xla_w) / d_xla_w < 0.02, (d_nat_w, d_xla_w)
     # identical clouds -> ~0; 'auto' resolves to the native path here
     assert Sinkhorn(backend="auto")(x, x) < 0.1
+    # odd p: |delta|^p, not a signed power (NaN regression)
+    d3n = Sinkhorn(p=3, backend="native")(x[:100], y[:100])
+    d3x = float(Sinkhorn(p=3)(jnp.asarray(x[:100]), jnp.asarray(y[:100])))
+    assert np.isfinite(d3n) and np.isfinite(d3x)
+    assert abs(d3n - d3x) / d3x < 0.05, (d3n, d3x)
 
 
 def test_mmd_discriminates():
