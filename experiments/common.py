@@ -360,14 +360,17 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
     t_train = time.time() - t0
     stage(f"EBM reference done in {t_train:.1f}s")
     params = trainer.ema_params
-    net_score = lambda t, x: pot.apply(params, t, x)
-    net_log_prob = lambda t, x: pot.apply(params, t, x, method="unnorm_log_prob")
+    # (score_apply, log_prob_apply, params) — the serializable nn-reference
+    # form: RDS checkpoints then persist the trained EBM params
+    # (solver/oc.py:634-666 parity; see RDS.save_attrs)
+    score_apply = lambda p, t, x: pot.apply(p, t, x)
+    log_prob_apply = lambda p, t, x: pot.apply(p, t, x, method="unnorm_log_prob")
     extra = {"ebm_train": t_train}
     if return_trainer:
         extra["trainer"] = trainer
         extra["losses"] = losses
         extra["grad_norms"] = gnorms
-    return (net_score, net_log_prob), extra
+    return (score_apply, log_prob_apply, params), extra
 
 
 def ebm_run(args, target, target_details, x_init, extra_params=None,
@@ -413,7 +416,8 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
                   if isinstance(v, (int, float))})
     # forward ESS of the learned reference on dataset samples — the
     # reference-quality diagnostic of sample_phi_four_ebm_mcmc.py:212-230
-    _, net_log_prob = net
+    _score_apply, _lp_apply, _net_params = net
+    net_log_prob = lambda t, x: _lp_apply(_net_params, t, x)
     n_diag = min(8192, dataset.shape[0])
     xs_d = dataset[:n_diag]
     lw = net_log_prob(jnp.full((n_diag,), 1e-4), xs_d) \

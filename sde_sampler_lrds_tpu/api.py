@@ -142,14 +142,37 @@ def _time_embed_scale_model(val: float | None = None):
 
 
 def make_ctrl(model_type: str, dim: int, target, prior, sde,
-              compute_dtype=None):
+              compute_dtype=None, base_arch: str | None = None):
     """Control network per model axis (conf/model/*.yaml).
+
+    `*unet_zero_init` model types build the 14×14 MNIST UNet
+    (benchmark_utils.py:31-38 → conf/model/basic_unet.yaml: n_channels=16,
+    zero-init last conv); dim must be a perfect square (196 for MNIST).
+    `base_arch` selects the MLP family for the non-UNet types:
+    'fouriermlp' (default) or 'densenet' (conf/model/base/densenet.yaml).
 
     compute_dtype=jnp.bfloat16 runs the Dense matmuls at the MXU's native
     precision (params stay f32, outputs cast back to f32); quality on the
     demo protocol is unchanged (docs/RESULTS.md).
     """
-    base = FourierMLP(dim=dim, zero_init=True, compute_dtype=compute_dtype)
+    if "unet" in model_type:
+        from .models.mnist_unet import Unet
+
+        side = int(round(math.sqrt(dim)))
+        if side * side != dim:
+            raise ValueError(
+                f"UNet model types need a square dim (got {dim}); the "
+                "reference UNet is the 14x14=196 MNIST net (mnist_unet.py:238).")
+        base = Unet(n_channels=16, side=side, init_last_layer_with_zeros=True)
+    elif base_arch in (None, "fouriermlp"):
+        base = FourierMLP(dim=dim, zero_init=True, compute_dtype=compute_dtype)
+    elif base_arch == "densenet":
+        from .models.mlp import DenseNet
+
+        base = DenseNet(dim=dim, arch=(64, 64), zero_init=True,
+                        compute_dtype=compute_dtype)
+    else:
+        raise ValueError(f"Unknown base_arch {base_arch!r}")
     if model_type in ("base_zero_init", "unet_zero_init"):
         return ClippedCtrl(base_model=base, clip_model=1e4)
     if model_type in ("target_informed_zero_init", "target_informed_unet_zero_init"):
@@ -176,7 +199,7 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
                use_ema: bool = False, force_vp20: bool = False,
                force_vp_cosine: bool = False, compute_samples_based_metrics: bool = True,
                force_T_cosine: float | None = None, out_dir=None, mesh=None,
-               compute_dtype=None):
+               compute_dtype=None, base_arch: str | None = None):
     """Build a fully configured sampler (benchmark_utils.make_model:96)."""
     assert solver_type in SOLVER_TYPES
     assert ref_type in ("default", "gaussian", "gmm", "nn")
@@ -273,7 +296,7 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
         ts = get_timesteps(0.0, end, dt=0.05, rescale_t="cosine")
         loss_kwargs.update(alpha=solver_details.get("alpha", 1.0), sigma=sigma)
         solver = DDS(target, prior, None, make_ctrl(model_type, dim, target, prior, None,
-                                   compute_dtype=compute_dtype),
+                                   compute_dtype=compute_dtype, base_arch=base_arch),
                      ExponentialIntegratorSDELoss, loss_kwargs, train_ts=ts, cfg=cfg,
                      out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
     elif solver_type == "pis_orig":
@@ -281,7 +304,7 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
         sde = ScaledBM(diff_coeff=sigma, terminal_t=5.0)
         ts = get_timesteps(0.0, sde.terminal_t, steps=n_steps)
         solver = PIS(target, prior, sde, make_ctrl(model_type, dim, target, prior, sde,
-                                   compute_dtype=compute_dtype),
+                                   compute_dtype=compute_dtype, base_arch=base_arch),
                      EMReferenceSDELoss, loss_kwargs, train_ts=ts, cfg=cfg,
                      out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
     elif solver_type == "dis_orig":
@@ -292,14 +315,14 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
         if force_vp_cosine:
             ts = get_timesteps(1e-3, sde.terminal_t, steps=n_steps)
         solver = Bridge(target, prior, sde, make_ctrl(model_type, dim, target, prior, sde,
-                                   compute_dtype=compute_dtype),
+                                   compute_dtype=compute_dtype, base_arch=base_arch),
                         TimeReversalLoss, loss_kwargs, train_ts=ts, cfg=cfg,
                         out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
     elif solver_type == "cmcd":
         prior = IsotropicGauss(dim=dim, scale=solver_details.get("prior_scale", 5.0))
         ts = get_timesteps(0.0, 1.0, steps=n_steps)
         solver = CMCD(target, prior, None, make_ctrl(model_type, dim, target, prior, None,
-                                   compute_dtype=compute_dtype),
+                                   compute_dtype=compute_dtype, base_arch=base_arch),
                       ControlledLangevinSDELoss, loss_kwargs, train_ts=ts, cfg=cfg,
                       out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
     else:  # vp-ref / pbm-ref  ->  RDS
@@ -324,7 +347,7 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
         loss_cls = {"em": EMReferenceSDELoss, "ei": EIReferenceSDELoss,
                     "ddpm_like": DDPMLikeReferenceSDELoss}[integrator_type]
         solver = RDS(target, prior, sde, make_ctrl(model_type, dim, target, prior, sde,
-                                   compute_dtype=compute_dtype),
+                                   compute_dtype=compute_dtype, base_arch=base_arch),
                      loss_cls, loss_kwargs, train_ts=ts, cfg=cfg, out_dir=out_dir,
                      **({"mesh": mesh} if mesh else {}))
 

@@ -147,26 +147,38 @@ class MaximumLikelihoodEBM:
               clip_val: float = 1.0, initial_n_warmup_mcmc_steps: int = 1024,
               n_mcmc_steps: int = 32, n_accumulation_steps: int = 1,
               reg_val: float = 0.0, use_ema: bool = False,
-              ema_decay: float = 0.995, batches_per_call: int = 1,
-              verbose: bool = False):
+              ema_decay: float = 0.995, ema_steps: int = 10,
+              batches_per_call: int = 1, verbose: bool = False):
         """Fused contrastive-MLE training.
 
         The first batch (with its long ``initial_n_warmup_mcmc_steps`` warmup)
         runs as one jitted call; the remaining ``n_epochs × n_batches − 1``
         updates are fused ``batches_per_call`` at a time into a single
-        ``lax.scan`` whose carry holds (params, opt state, EMA, per-level MCMC
-        step sizes, persistent replica state, current negative pool). Per-step
-        PRNG keys are derived by ``fold_in`` on the global step index, so
-        results are bit-identical for every ``batches_per_call`` value;
-        NaN/divergence aborts (ebm_mle.py:760-767) are checked on the host
-        after each fused call.
+        ``lax.scan`` whose carry holds (params, grad accumulator, opt state,
+        EMA, per-level MCMC step sizes, persistent replica state, current
+        negative pool). Per-step PRNG keys are derived by ``fold_in`` on the
+        global step index, so results are bit-identical for every
+        ``batches_per_call`` value; NaN/divergence aborts (ebm_mle.py:760-767)
+        are checked on the host after each fused call.
 
         ``n_accumulation_steps`` = A > 1 reproduces the reference's gradient
-        accumulation (ebm_mle.py:702,785): negatives are resampled every A
-        batches and reused in between, while optax.MultiSteps averages the A
-        micro-gradients into one optimizer step. (Because the params are
-        frozen within a group, recomputing the negative energy each
-        micro-step is exactly the reference's retain_graph re-backward.)
+        accumulation exactly (ebm_mle.py:702,755-758,785), with PER-EPOCH
+        group boundaries: negatives are resampled when the batch index WITHIN
+        the epoch hits a multiple of A (and reused in between), micro-losses
+        are scaled by 1/A — or by 1/(n_batches % A) in the ragged tail group —
+        and the accumulated gradient is applied both at group boundaries and
+        at epoch end, so groups never drift across epochs even when
+        n_batches % A != 0. (Because the params are frozen within a group,
+        recomputing the negative energy each micro-step is exactly the
+        reference's retain_graph re-backward.)
+
+        ``use_ema`` mirrors the reference's AveragedModel schedule
+        (ebm_mle.py:622-626, 790): one blend every ``ema_steps`` optimizer
+        steps with the 'adjusted' coefficient
+        alpha = min(1, (1-ema_decay)·A·L·eff_batch·ema_steps/n_epochs)
+        — note that at experiment scale this adjustment saturates at alpha=1,
+        i.e. the reference's "EMA" degenerates to a lagged parameter copy;
+        pass a larger ema_decay/n_epochs ratio for a real average.
 
         Returns (losses, grad_norms, diagnostics).
         """
@@ -192,8 +204,6 @@ class MaximumLikelihoodEBM:
         tx = optax.adamw(lr, weight_decay=decay) if decay > 0 else optax.adam(lr)
         if clip_val > 0:
             tx = optax.chain(optax.clip_by_global_norm(clip_val), tx)
-        if n_acc > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=n_acc)
         opt_state = tx.init(self.params)
 
         ts_pos = jnp.repeat(self.times, eff_batch)  # (L*eff_batch,)
@@ -233,6 +243,10 @@ class MaximumLikelihoodEBM:
         if total_steps == 0:
             return np.zeros((0,)), np.zeros((0,)), []
         is_cd = self.sampler_type == "cd"
+        tail = n_batches % n_acc  # ragged last accumulation group of an epoch
+        # reference AveragedModel 'adjusted alpha' (ebm_mle.py:622-626)
+        ema_alpha = min(1.0, (1.0 - ema_decay) * n_acc * L * eff_batch
+                        * ema_steps / n_epochs) if use_ema else 0.0
 
         # Deterministic schedule: permutation per epoch + per-step keys are all
         # fold_in derivatives, so the fused scan matches batches_per_call=1.
@@ -243,13 +257,17 @@ class MaximumLikelihoodEBM:
             for e in range(n_epochs)]).reshape(total_steps, eff_batch)
         step_ids = jnp.arange(total_steps)
 
-        def one_step(params, opt_state, ema, step_sizes, persistent, neg_pool,
-                     idx, step_id, warm, force_sample: bool):
+        def one_step(params, grad_acc, opt_state, opt_step, ema, step_sizes,
+                     persistent, neg_pool, idx, step_id, warm,
+                     force_sample: bool):
             k = jax.random.fold_in(k_step, step_id)
             k_noise, k_neg = jax.random.split(k)
             batch = jnp.take(data, idx, axis=0)
             eps = jax.random.normal(k_noise, (ts_pos.shape[0], dim))
             xs_pos = mean_f * jnp.tile(batch, (L, 1)) + std_f * eps
+            # group boundaries are PER EPOCH (ebm_mle.py:702): the batch index
+            # within the epoch, not the global step, decides resampling/apply
+            batch_in_epoch = step_id % n_batches
 
             def sample(_):
                 return self.sample_negatives(
@@ -259,53 +277,72 @@ class MaximumLikelihoodEBM:
             if force_sample or n_acc == 1:
                 xs_neg, step_sizes_n, persistent_n, diags = sample(None)
             else:
-                # accumulation group: refresh the negative pool every n_acc
-                # steps, reuse it (and the sampler state) in between
+                # accumulation group: refresh the negative pool at each
+                # per-epoch group start, reuse it (and sampler state) between
                 xs_neg_p, diags_p = neg_pool
                 xs_neg, step_sizes_n, persistent_n, diags = jax.lax.cond(
-                    (step_id % n_acc) == 0, sample,
+                    (batch_in_epoch % n_acc) == 0, sample,
                     lambda _: (xs_neg_p, step_sizes, persistent, diags_p),
                     None)
             neg_pool = (xs_neg, diags)
             ts_neg = jnp.repeat(self.times, xs_neg.shape[0] // L)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, ts_pos, xs_pos, ts_neg, xs_neg)
-            gnorm = optax.global_norm(grads)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            # micro-loss scaling anticipates the group averaging: 1/A, or
+            # 1/(n_batches % A) in the ragged tail group (ebm_mle.py:755-758)
+            if n_acc > 1 and tail > 0:
+                denom = jnp.where(batch_in_epoch >= n_batches - tail,
+                                  float(tail), float(n_acc))
+            else:
+                denom = float(n_acc)
+
+            def scaled_loss(p):
+                return loss_fn(p, ts_pos, xs_pos, ts_neg, xs_neg) / denom
+
+            loss, grads = jax.value_and_grad(scaled_loss)(params)
+            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            gnorm = optax.global_norm(grad_acc)
+            # optimizer step at group boundaries AND at epoch end, so the
+            # ragged tail group never drifts into the next epoch
+            do_apply = (((batch_in_epoch + 1) % n_acc) == 0) | \
+                (batch_in_epoch + 1 == n_batches)
+            updates, new_opt = tx.update(grad_acc, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            sel = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(do_apply, a, b), new, old)
+            params = sel(new_params, params)
+            opt_state = sel(new_opt, opt_state)
+            grad_acc = sel(jax.tree.map(jnp.zeros_like, grad_acc), grad_acc)
+            opt_step = opt_step + do_apply.astype(jnp.int32)
             if use_ema:
-                if n_acc > 1:
-                    # blend only at accumulation-group boundaries — params
-                    # change once per group, and blending every micro-step
-                    # would compound the decay to ema_decay**A per update
-                    is_update = ((step_id + 1) % n_acc) == 0
-                    d = jnp.where(is_update, ema_decay, 1.0)
-                else:
-                    d = ema_decay
-                ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
+                # one blend every ema_steps optimizer steps with the adjusted
+                # alpha (ebm_mle.py:622,790)
+                do_ema = do_apply & ((opt_step % ema_steps) == 0)
+                a = jnp.where(do_ema, ema_alpha, 0.0)
+                ema = jax.tree.map(lambda e, p: (1 - a) * e + a * p,
                                    ema, params)
             else:
                 ema = params
             diag_means = jax.tree.map(jnp.mean, diags)
-            return params, opt_state, ema, step_sizes_n, persistent_n, \
-                neg_pool, loss, gnorm, diag_means
+            return params, grad_acc, opt_state, opt_step, ema, step_sizes_n, \
+                persistent_n, neg_pool, loss, gnorm, diag_means
 
         @jax.jit
-        def first_step(params, opt_state, ema, step_sizes, persistent, idx,
-                       step_id):
-            return one_step(params, opt_state, ema, step_sizes, persistent,
-                            None, idx, step_id, initial_n_warmup_mcmc_steps,
-                            force_sample=True)
+        def first_step(params, grad_acc, opt_state, opt_step, ema, step_sizes,
+                       persistent, idx, step_id):
+            return one_step(params, grad_acc, opt_state, opt_step, ema,
+                            step_sizes, persistent, None, idx, step_id,
+                            initial_n_warmup_mcmc_steps, force_sample=True)
 
         def scan_body(carry, inp):
-            params, opt_state, ema, step_sizes, persistent, neg_pool = carry
+            params, grad_acc, opt_state, opt_step, ema, step_sizes, \
+                persistent, neg_pool = carry
             idx, step_id = inp
-            params, opt_state, ema, step_sizes, persistent, neg_pool, loss, \
-                gnorm, dm = one_step(params, opt_state, ema, step_sizes,
-                                     persistent, neg_pool, idx, step_id,
-                                     n_warmup, force_sample=False)
-            return (params, opt_state, ema, step_sizes, persistent, neg_pool), \
-                (loss, gnorm, dm)
+            params, grad_acc, opt_state, opt_step, ema, step_sizes, \
+                persistent, neg_pool, loss, gnorm, dm = one_step(
+                    params, grad_acc, opt_state, opt_step, ema, step_sizes,
+                    persistent, neg_pool, idx, step_id, n_warmup,
+                    force_sample=False)
+            return (params, grad_acc, opt_state, opt_step, ema, step_sizes,
+                    persistent, neg_pool), (loss, gnorm, dm)
 
         @jax.jit
         def fused_steps(carry, idxs, sids):
@@ -324,12 +361,14 @@ class MaximumLikelihoodEBM:
                     f"{offset + i}.")
 
         losses, grad_norms, diagnostics = [], [], []
+        grad_acc = jax.tree.map(jnp.zeros_like, self.params)
+        opt_step = jnp.asarray(0, jnp.int32)
         # first batch: long initial warmup, also normalizes the persistent
         # replica state to the re_sampler's (x, lp, grad) tuple for the scan
-        self.params, opt_state, self.ema_params, step_sizes, persistent, \
-            neg_pool, loss, gnorm, dm = first_step(
-                self.params, opt_state, self.ema_params, step_sizes,
-                persistent, idx_all[0], step_ids[0])
+        self.params, grad_acc, opt_state, opt_step, self.ema_params, \
+            step_sizes, persistent, neg_pool, loss, gnorm, dm = first_step(
+                self.params, grad_acc, opt_state, opt_step, self.ema_params,
+                step_sizes, persistent, idx_all[0], step_ids[0])
         loss_block = np.asarray([float(loss)])
         check_abort(loss_block, 0)
         losses.append(float(loss))
@@ -338,8 +377,8 @@ class MaximumLikelihoodEBM:
 
         spc = max(int(batches_per_call), 1)
         pos = 1
-        carry = (self.params, opt_state, self.ema_params, step_sizes,
-                 persistent, neg_pool)
+        carry = (self.params, grad_acc, opt_state, opt_step, self.ema_params,
+                 step_sizes, persistent, neg_pool)
         while pos < total_steps:
             hi = min(pos + spc, total_steps)
             # the ragged tail compiles once more at its shorter scan length
@@ -355,6 +394,6 @@ class MaximumLikelihoodEBM:
             for i in range(hi - pos):
                 diagnostics.append(jax.tree.map(lambda v: float(v[i]), dm_host))
             pos = hi
-        self.params, opt_state, self.ema_params, step_sizes, persistent, _ = \
-            carry
+        self.params, _grad_acc, opt_state, _opt_step, self.ema_params, \
+            step_sizes, persistent, _ = carry
         return np.asarray(losses), np.asarray(grad_norms), diagnostics

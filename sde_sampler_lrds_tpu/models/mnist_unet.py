@@ -115,8 +115,10 @@ class Unet(nn.Module):
         h = MiddleBlock(2 * nc)(h, t_emb, deterministic)
         h = UpBlock(2 * nc, has_attn=True)(
             jnp.concatenate([h, skip2], axis=-1), t_emb, deterministic)
+        # SAME padding => out = in*stride exactly (flax ConvTranspose pads the
+        # stride-dilated input, so explicit (1,1) would give 2·in−2, not 2·in)
         h = nn.ConvTranspose(2 * nc, (4, 4), strides=(2, 2),
-                             padding=((1, 1), (1, 1)))(h)  # 7 -> 14
+                             padding="SAME")(h)  # 7 -> 14
         h = UpBlock(nc)(jnp.concatenate([h, skip1], axis=-1), t_emb, deterministic)
         # output projection (optionally deeper, optionally near-zero init)
         channels = ([nc] + list(self.rev_proj_channels) + [self.image_channels]) \

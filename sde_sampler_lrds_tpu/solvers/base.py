@@ -261,7 +261,17 @@ class Trainable(Solver):
 
     # -- checkpointing (solver/base.py:204-255) ----------------------------
     def save_attrs(self) -> dict:
+        """Declarative checkpoint payload; subclasses extend (solver/base.py:204).
+
+        Entries are flax-serializable pytrees (plus plain scalars/strings).
+        `restore_attrs` is the mirror: it receives the msgpack-restored raw
+        dict and must not rely on template structure matching, so subclasses
+        can save variant-shaped payloads (e.g. RDS reference params)."""
         return {"state": self.state, "train_time": self.train_time}
+
+    def restore_attrs(self, raw: dict):
+        self.state = serialization.from_state_dict(self.state, raw["state"])
+        self.train_time = float(raw["train_time"])
 
     def store_checkpoint(self, path: Path | None = None) -> Path:
         assert self.out_dir or path
@@ -282,9 +292,11 @@ class Trainable(Solver):
         path = path or self.latest_checkpoint()
         if path is None:
             return False
-        restored = serialization.from_bytes(self.save_attrs(), path.read_bytes())
-        self.state = restored["state"]
-        self.train_time = restored["train_time"]
+        # msgpack_restore (not from_bytes) so the payload structure need not
+        # match save_attrs() of the CURRENT solver — e.g. an RDS checkpoint
+        # carries whatever reference params its ref_type has (solver/oc.py:634).
+        raw = serialization.msgpack_restore(path.read_bytes())
+        self.restore_attrs(raw)
         return True
 
 

@@ -23,6 +23,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+from flax import serialization
 
 from ..losses.base import compute_results
 from ..sde.langevin import ControlledLangevinSDE, ControlledSDE
@@ -309,6 +310,10 @@ class GMMReferenceCtrl:
 class RDS(TrainableDiff):
     """Learned reference-based diffusion sampler (solver/oc.py:495)."""
 
+    _nn_apply = None
+    _nn_params = None
+    _nn_eps = 1e-4
+
     def setup_models(self):
         self.inference_sde = self.sde
         self.change_reference_type(ref_type="default")
@@ -360,12 +365,26 @@ class RDS(TrainableDiff):
                 jnp.asarray(0.0), x, means, variances, weights)
             self.reference_score_t = GMMReferenceCtrl(sde, means, variances, weights)
         elif ref_type == "nn":
-            # net: (t, x) -> score; net_log_prob: (t, x) -> unnorm log prob
-            net_score, net_log_prob = net
-            eps = jnp.asarray(eps if eps is not None else 1e-4, jnp.float32)
+            # Two accepted forms (solver/oc.py:577-587):
+            #   (score, log_prob)                — closures (t, x) -> ...; the
+            #       EBM params are baked in and CANNOT be checkpointed.
+            #   (score_apply, log_prob_apply, params) — pure apply fns
+            #       (params, t, x) -> ...; params are a pytree serialized into
+            #       checkpoints and restored via restore_attrs.
+            if len(net) == 3:
+                score_apply, log_prob_apply, params = net
+                self._nn_apply = (score_apply, log_prob_apply)
+                self._nn_params = params
+                net_score = lambda t, x: score_apply(params, t, x)
+                net_log_prob = lambda t, x: log_prob_apply(params, t, x)
+            else:
+                net_score, net_log_prob = net
+                self._nn_apply = None
+                self._nn_params = None
+            self._nn_eps = float(eps if eps is not None else 1e-4)
             self.reference_distr_utils = {"net": net}
             wrapper = WrapperDistrNN(dim=self.target.dim,
-                                     unnorm_log_prob_t=net_log_prob, t=float(eps))
+                                     unnorm_log_prob_t=net_log_prob, t=self._nn_eps)
             self.reference_log_prob = wrapper.unnorm_log_prob
             self.reference_score_t = lambda t, x: net_score(
                 jnp.broadcast_to(jnp.reshape(t, (-1,)), (x.shape[0],)), x)
@@ -381,3 +400,62 @@ class RDS(TrainableDiff):
     def loss_call_args(self, use_ema: bool = False) -> dict:
         return {"terminal_unnorm_log_prob": self.clipped_target_unnorm_log_prob,
                 "reference_log_prob": self.reference_log_prob}
+
+    # -- checkpointing: persist the fitted reference (solver/oc.py:634-666) -
+    def save_attrs(self) -> dict:
+        attrs = super().save_attrs()
+        ref = {"ref_type": self.ref_type}
+        for k, v in self.reference_distr_utils.items():
+            if k == "net":
+                continue  # callables; the params pytree is saved below
+            ref[k] = v
+        if self.ref_type == "nn":
+            ref["eps"] = self._nn_eps
+            if self._nn_params is not None:
+                ref["net_params"] = self._nn_params
+        attrs["reference"] = ref
+        return attrs
+
+    def restore_attrs(self, raw: dict):
+        super().restore_attrs(raw)
+        ref = raw.get("reference")
+        if ref is None:
+            return  # pre-round-2 checkpoint without reference info
+        ref_type = ref["ref_type"]
+        if ref_type == "default":
+            self.change_reference_type("default")
+        elif ref_type == "gaussian":
+            self.change_reference_type(
+                "gaussian", mean=ref["x_init"], var=_maybe_tuple(ref["var_init"]))
+        elif ref_type == "gmm":
+            self.change_reference_type(
+                "gmm", weights=ref["weights_init"], means=ref["means_init"],
+                variances=_maybe_tuple(ref["variances_init"]))
+        elif ref_type == "nn":
+            if "net_params" not in ref:
+                raise ValueError(
+                    "Checkpoint has ref_type='nn' but no serialized params: it "
+                    "was saved from a closure-form net. Re-install the EBM via "
+                    "change_reference_type('nn', net=...) before/after loading, "
+                    "or save with the (score_apply, log_prob_apply, params) form.")
+            if self._nn_apply is None:
+                raise ValueError(
+                    "Restoring an 'nn' reference needs the apply fns: install "
+                    "the same EBM architecture via change_reference_type('nn', "
+                    "net=(score_apply, log_prob_apply, init_params)) first, "
+                    "then load_checkpoint() to restore the trained params.")
+            params = serialization.from_state_dict(self._nn_params, ref["net_params"]) \
+                if self._nn_params is not None else ref["net_params"]
+            self.change_reference_type(
+                "nn", net=(*self._nn_apply, params), eps=ref.get("eps"))
+        else:
+            raise NotImplementedError(f"Reference type {ref_type!r} in checkpoint.")
+
+
+def _maybe_tuple(v):
+    """Undo flax's tuple→{'0':…} state-dict encoding for variance payloads."""
+    if isinstance(v, dict):
+        return tuple(v[str(i)] for i in range(len(v)))
+    if isinstance(v, (list, tuple)):
+        return tuple(v)
+    return v

@@ -167,3 +167,95 @@ def test_sharded_train_step_multi_device():
     solver.setup()
     m = solver.step(jax.random.PRNGKey(0))
     assert np.isfinite(float(m["train/loss"]))
+
+
+def test_rds_reference_checkpoint_roundtrip(tmp_path):
+    """RDS persists the fitted reference in checkpoints: a fresh solver that
+    loads the checkpoint must evaluate the IDENTICAL reference_log_prob
+    (reference solver/oc.py:634-666)."""
+    target = TwoModes(dim=2, n_reference_samples=10_000)
+    prior = IsotropicGauss(dim=2)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ts = get_timesteps(0.0, 1.0, steps=8)
+
+    def fresh(out_dir):
+        return RDS(target, prior, sde, make_ctrl(), EIReferenceSDELoss,
+                   {"method": "lv", "max_rnd": 1e8}, train_ts=ts,
+                   cfg=CFG, out_dir=out_dir)
+
+    x_probe = jax.random.normal(jax.random.PRNGKey(0), (64, 2)) * 2.0
+
+    # gmm reference
+    solver = fresh(tmp_path / "gmm")
+    solver.setup()
+    solver.change_reference_type(
+        "gmm", means=target.loc, variances=target.scale**2,
+        weights=target.mixture_weights)
+    solver.step(jax.random.PRNGKey(1))
+    want = np.asarray(solver.reference_log_prob(x_probe))
+    p = solver.store_checkpoint()
+    restored = fresh(tmp_path / "gmm")
+    restored.setup()
+    assert restored.ref_type == "default"
+    assert restored.load_checkpoint(p)
+    assert restored.ref_type == "gmm"
+    np.testing.assert_allclose(
+        np.asarray(restored.reference_log_prob(x_probe)), want, rtol=1e-6)
+
+    # gaussian reference
+    solver = fresh(tmp_path / "gauss")
+    solver.setup()
+    solver.change_reference_type(
+        "gaussian", mean=jnp.asarray([0.3, -0.2]), var=jnp.asarray([1.5, 0.7]))
+    want = np.asarray(solver.reference_log_prob(x_probe))
+    p = solver.store_checkpoint()
+    restored = fresh(tmp_path / "gauss")
+    restored.setup()
+    assert restored.load_checkpoint(p)
+    assert restored.ref_type == "gaussian"
+    np.testing.assert_allclose(
+        np.asarray(restored.reference_log_prob(x_probe)), want, rtol=1e-6)
+
+
+def test_rds_nn_reference_checkpoint_roundtrip(tmp_path):
+    """The (score_apply, log_prob_apply, params) nn form serializes the EBM
+    params; a fresh solver with the same architecture restores them."""
+    from sde_sampler_lrds_tpu.models import GaussTiltedPotential
+
+    target = TwoModes(dim=2, n_reference_samples=10_000)
+    prior = IsotropicGauss(dim=2)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ts = get_timesteps(1e-4, 1.0, steps=8)
+    pot = GaussTiltedPotential.from_gaussian(
+        base_model=FourierMLP(dim=2, channels=16, zero_init=False),
+        sde=sde, mean=jnp.zeros(2), variance=jnp.ones(2))
+    params = pot.init(jax.random.PRNGKey(0), jnp.full((2,), 0.1), jnp.zeros((2, 2)))
+    score_apply = lambda p, t, x: pot.apply(p, t, x)
+    lp_apply = lambda p, t, x: pot.apply(p, t, x, method="unnorm_log_prob")
+
+    def fresh(out_dir):
+        return RDS(target, prior, sde, make_ctrl(), EIReferenceSDELoss,
+                   {"method": "lv", "max_rnd": 1e8}, train_ts=ts,
+                   cfg=CFG, out_dir=out_dir)
+
+    x_probe = jax.random.normal(jax.random.PRNGKey(5), (32, 2))
+    solver = fresh(tmp_path)
+    solver.setup()
+    solver.change_reference_type("nn", net=(score_apply, lp_apply, params),
+                                 eps=float(ts[0]))
+    want_lp = np.asarray(solver.reference_log_prob(x_probe))
+    want_score = np.asarray(solver.reference_score_t(0.3, x_probe))
+    p = solver.store_checkpoint()
+
+    restored = fresh(tmp_path)
+    restored.setup()
+    # install the architecture (fresh params), then load the trained ones
+    p_init = pot.init(jax.random.PRNGKey(7), jnp.full((2,), 0.1), jnp.zeros((2, 2)))
+    restored.change_reference_type("nn", net=(score_apply, lp_apply, p_init),
+                                   eps=float(ts[0]))
+    assert restored.load_checkpoint(p)
+    assert restored.ref_type == "nn"
+    np.testing.assert_allclose(
+        np.asarray(restored.reference_log_prob(x_probe)), want_lp, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(restored.reference_score_t(0.3, x_probe)), want_score, rtol=1e-6)
