@@ -69,7 +69,40 @@ def build_parser():
     p.add_argument("--wandb", action="store_true", help="log to wandb if available")
     p.add_argument("--device", default="default", choices=["default", "cpu", "tpu"],
                    help="cfg.device analogue; 'cpu' forces the host backend")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   nargs="+", metavar="NS.KEY=VALUE",
+                   help="dotted-key config overrides, the hydra-override "
+                        "analogue (conf/base.yaml): namespaces train.* "
+                        "(any TrainConfig field), solver.*, target.*, "
+                        "loss.*, sde.*, model.{base_arch,compute_dtype}. "
+                        "E.g. --set train.lr=1e-3 sde.diff_coeff_sq_max=20")
     return p
+
+
+_OVERRIDE_NS = ("train", "solver", "target", "loss", "sde", "model")
+
+
+def parse_overrides(pairs):
+    """[['train.lr=1e-3', 'sde.diff_coeff_sq_max=20']] -> per-namespace dicts.
+
+    Values go through ast.literal_eval (ints/floats/bools/tuples) and fall
+    back to the raw string, matching hydra's untyped override parsing."""
+    import ast
+
+    out = {ns: {} for ns in _OVERRIDE_NS}
+    for item in (x for group in pairs for x in group):
+        key, sep, val = item.partition("=")
+        ns, dot, field = key.partition(".")
+        if not sep or not dot or ns not in _OVERRIDE_NS or not field:
+            raise SystemExit(
+                f"--set expects NS.KEY=VALUE with NS in {_OVERRIDE_NS}; "
+                f"got {item!r}")
+        try:
+            parsed = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            parsed = val
+        out[ns][field] = parsed
+    return out
 
 
 def main():
@@ -93,9 +126,11 @@ def main():
     from sde_sampler_lrds_tpu.utils.wandb import maybe_init_wandb, wandb_log
 
     try:
+        ov = parse_overrides(args.overrides)
         target_kwargs = {} if args.dim is None else {"dim": args.dim}
+        target_kwargs.update(ov["target"])
         target_details = make_target_details(args.target, **target_kwargs)
-        solver_details = {"sigma": args.sigma}
+        solver_details = {"sigma": args.sigma, **ov["solver"]}
         solver_type = SOLVER_PRESETS[args.solver]
         training_details = {
             "train_steps": args.train_steps,
@@ -105,7 +140,17 @@ def main():
             "log_interval": args.log_interval,
             "grad_clip": args.grad_clip,
             "seed": args.seed,
+            **ov["train"],
         }
+        model_ov = dict(ov["model"])
+        compute_dtype = model_ov.pop("compute_dtype", None)
+        if isinstance(compute_dtype, str):
+            import jax.numpy as jnp
+
+            compute_dtype = jnp.dtype(compute_dtype).type
+        base_arch = model_ov.pop("base_arch", None)
+        if model_ov:
+            raise ValueError(f"Unknown model.* override(s): {sorted(model_ov)}")
         # Fitted references need a dataset first (the LRDS pipeline).
         if args.ref_type != "default":
             from sde_sampler_lrds_tpu.api import make_target
@@ -131,10 +176,24 @@ def main():
             solver_details=solver_details, target_details=target_details,
             training_details=training_details, n_steps=args.steps,
             use_ema=args.use_ema, out_dir=out_dir,
+            sde_details=ov["sde"], loss_details=ov["loss"],
+            compute_dtype=compute_dtype, base_arch=base_arch,
             # conf/solver/cmcd.yaml pairs CMCD with the basic model; the api
             # mirrors the reference's inverted check, so take the escape hatch
             force_base_zero_init=(args.solver == "cmcd" and args.model == "basic"))
         solver.cfg.ckpt_interval = args.ckpt_interval
+        # resolved-config dump (the .hydra/config.yaml analogue): the
+        # effective TrainConfig + SDE after all --set overrides
+        import dataclasses
+
+        resolved = {
+            "train": {k: v for k, v in dataclasses.asdict(solver.cfg).items()
+                      if isinstance(v, (int, float, str, bool, type(None)))},
+            "sde": {"class": type(solver.sde).__name__ if solver.sde else None,
+                    **({k: float(v) for k, v in vars(solver.sde).items()
+                        if isinstance(v, (int, float))} if solver.sde else {})},
+        }
+        (out_dir / "resolved.json").write_text(json.dumps(resolved, indent=2))
         wandb_run = maybe_init_wandb(args.wandb, out_dir, vars(args))
         solver.setup()
         if args.resume and solver.load_checkpoint():

@@ -20,6 +20,7 @@ All validation rules mirror benchmark_utils.make_model:100-159.
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Callable
 
@@ -199,8 +200,18 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
                use_ema: bool = False, force_vp20: bool = False,
                force_vp_cosine: bool = False, compute_samples_based_metrics: bool = True,
                force_T_cosine: float | None = None, out_dir=None, mesh=None,
-               compute_dtype=None, base_arch: str | None = None):
-    """Build a fully configured sampler (benchmark_utils.make_model:96)."""
+               compute_dtype=None, base_arch: str | None = None,
+               sde_details: dict | None = None, loss_details: dict | None = None):
+    """Build a fully configured sampler (benchmark_utils.make_model:96).
+
+    Composability (the hydra-override surface of conf/base.yaml):
+      - extra ``training_details`` keys beyond the consumed seven are applied
+        to ANY TrainConfig field (e.g. steps_per_call, max_loss, ema_decay);
+      - ``sde_details`` kwargs are merged into the SDE constructor of the
+        selected solver (e.g. diff_coeff_sq_max=20.0);
+      - ``loss_details`` kwargs override the loss defaults (e.g. max_rnd).
+    The CLI exposes all of these as ``--set ns.key=value`` dotted overrides
+    (scripts/main.py)."""
     assert solver_type in SOLVER_TYPES
     assert ref_type in ("default", "gaussian", "gmm", "nn")
     assert loss_type in ("kl", "lv")
@@ -265,7 +276,7 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
         sched_cfg = dict(optim_details["lr_scheduler"])
         lr_schedule = make_lr_schedule(sched_cfg.pop("name"), lr,
                                        training_details["train_steps"], **sched_cfg)
-    cfg = TrainConfig(
+    cfg_kwargs = dict(
         train_steps=training_details["train_steps"],
         train_batch_size=training_details["train_batch_size"],
         eval_batch_size=training_details["eval_batch_size"],
@@ -277,39 +288,66 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
         grad_clip=training_details.get("grad_clip"),
         seed=training_details.get("seed", 0),
     )
+    # any further training_details key targets a TrainConfig field directly
+    # (--set train.steps_per_call=8 etc.); training_details wins over the
+    # lr/use_ema values coming from optim_details / the use_ema kwarg
+    cfg_fields = {f.name for f in dataclasses.fields(TrainConfig)}
+    _consumed = ("train_steps", "train_batch_size", "eval_batch_size",
+                 "eval_interval", "log_interval", "grad_clip", "seed")
+    extra_cfg = {k: v for k, v in training_details.items()
+                 if k not in _consumed}
+    unknown = set(extra_cfg) - cfg_fields
+    if unknown:
+        raise ValueError(
+            f"Unknown training_details keys {sorted(unknown)}; valid "
+            f"TrainConfig fields: {sorted(cfg_fields)}")
+    cfg_kwargs.update(extra_cfg)
+    cfg = TrainConfig(**cfg_kwargs)
+
+    sde_details = dict(sde_details or {})
+
+    def _sde(cls, **kw):
+        kw.update(sde_details)
+        return cls(**kw)
 
     loss_kwargs = {"method": loss_type}
     if loss_type == "lv":
         loss_kwargs["max_rnd"] = 1e8
+    loss_kwargs.update(loss_details or {})
 
     def make_vp():
         if force_vp_cosine:
-            return CosineVP(scale_diff_coeff=sigma)
+            return _sde(CosineVP, scale_diff_coeff=sigma)
         if force_vp20:
-            return VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=20.0, scale_diff_coeff=sigma)
-        return VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0, scale_diff_coeff=sigma)
+            return _sde(VP, diff_coeff_sq_min=0.1, diff_coeff_sq_max=20.0,
+                        scale_diff_coeff=sigma)
+        return _sde(VP, diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0,
+                    scale_diff_coeff=sigma)
 
     t_eps = 1e-4
     if solver_type == "dds_orig":
         prior = IsotropicGauss(dim=dim, scale=sigma)
         end = force_T_cosine if force_T_cosine is not None else 6.4
         ts = get_timesteps(0.0, end, dt=0.05, rescale_t="cosine")
-        loss_kwargs.update(alpha=solver_details.get("alpha", 1.0), sigma=sigma)
+        # setdefault: --set loss.alpha=… overrides must survive this merge
+        loss_kwargs.setdefault("alpha", solver_details.get("alpha", 1.0))
+        loss_kwargs.setdefault("sigma", sigma)
         solver = DDS(target, prior, None, make_ctrl(model_type, dim, target, prior, None,
                                    compute_dtype=compute_dtype, base_arch=base_arch),
                      ExponentialIntegratorSDELoss, loss_kwargs, train_ts=ts, cfg=cfg,
                      out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
     elif solver_type == "pis_orig":
         prior = Delta(dim=dim, loc=0.0)
-        sde = ScaledBM(diff_coeff=sigma, terminal_t=5.0)
+        sde = _sde(ScaledBM, diff_coeff=sigma, terminal_t=5.0)
         ts = get_timesteps(0.0, sde.terminal_t, steps=n_steps)
         solver = PIS(target, prior, sde, make_ctrl(model_type, dim, target, prior, sde,
                                    compute_dtype=compute_dtype, base_arch=base_arch),
                      EMReferenceSDELoss, loss_kwargs, train_ts=ts, cfg=cfg,
                      out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
     elif solver_type == "dis_orig":
-        sde = make_vp() if force_vp20 or force_vp_cosine else VP(
-            diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0, scale_diff_coeff=sigma)
+        sde = make_vp() if force_vp20 or force_vp_cosine else _sde(
+            VP, diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0,
+            scale_diff_coeff=sigma)
         prior = IsotropicGauss(dim=dim, scale=sde.scale_diff_coeff)
         ts = get_timesteps(0.0, sde.terminal_t, steps=n_steps)
         if force_vp_cosine:
@@ -327,8 +365,9 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
                       out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
     else:  # vp-ref / pbm-ref  ->  RDS
         if solver_type == "pbm-ref":
-            sde = PinnedBM(diff_coeff=sigma if ref_type == "default" else math.sqrt(0.2),
-                           terminal_t=5.0)
+            sde = _sde(PinnedBM,
+                       diff_coeff=sigma if ref_type == "default" else math.sqrt(0.2),
+                       terminal_t=5.0)
             prior = Delta(dim=dim, loc=0.0)
             start = t_eps if time_type == "snr" else 1e-4
             ts = get_timesteps(start, sde.terminal_t - t_eps, steps=n_steps,

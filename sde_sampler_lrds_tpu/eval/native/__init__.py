@@ -47,7 +47,24 @@ def _compiler_tag() -> bytes:
                              text=True, timeout=10).stdout.splitlines()[0]
     except (OSError, subprocess.TimeoutExpired, IndexError):
         ver = "unknown"
-    return f"{ver}|{platform.machine()}|{' '.join(_FLAGS)}".encode()
+    # platform.machine() is just 'x86_64' everywhere — resolve what
+    # -march=native actually targets on THIS host so a binary built on one
+    # CPU generation is never loaded on another via a shared cache dir.
+    try:
+        cc = subprocess.run(
+            ["g++", "-march=native", "-E", "-v", "-", "-o", os.devnull],
+            input="", capture_output=True, text=True, timeout=10)
+        march = next((ln.strip() for ln in cc.stderr.splitlines()
+                      if "-march=" in ln and "cc1" in ln), "")
+    except (OSError, subprocess.TimeoutExpired):
+        march = ""
+    if not march:  # fallback: the CPU flag set itself
+        try:
+            with open("/proc/cpuinfo") as f:
+                march = next((ln for ln in f if ln.startswith("flags")), "")
+        except OSError:
+            march = platform.machine()
+    return f"{ver}|{march}|{' '.join(_FLAGS)}".encode()
 
 
 def build_sinkhorn_lib(verbose: bool = False) -> Path | None:

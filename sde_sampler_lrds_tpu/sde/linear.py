@@ -201,6 +201,12 @@ class OU:
         eig, p = var_tuple
         if eig.ndim == 1:
             eig, p = eig[None], p[None]
+        # scalar t only: the (K, D) broadcast below silently mis-computes for
+        # a (B,) time vector (vmap over t for the batched-time case)
+        if jnp.ndim(t) != 0:
+            raise ValueError(
+                "_factored_noised_mog takes scalar t; vmap over t for a "
+                f"batch of times (got t with shape {jnp.shape(t)}).")
         s_t = self.s(t)
         denom = s_t**2 * (eig + self.sigma_sq(t))          # (K, D)
         loc = s_t * jnp.atleast_2d(means_init)             # (K, D)

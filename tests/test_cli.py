@@ -48,6 +48,28 @@ def test_cli_resume_from_checkpoint(tmp_path):
     assert "resumed from step 6" in (proc2.stderr + proc2.stdout)
 
 
+def test_cli_set_overrides(tmp_path):
+    """--set dotted overrides (the hydra-override analogue) reach every
+    config axis; resolved.json records the effective config."""
+    out = tmp_path / "ovr"
+    proc = run_cli(["--solver", "vp_rds", "--set", "train.lr=0.001",
+                    "sde.diff_coeff_sq_max=20.0", "train.steps_per_call=2",
+                    "loss.max_rnd=1000000.0"], out)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    r = json.loads((out / "resolved.json").read_text())
+    assert r["train"]["lr"] == 0.001
+    assert r["train"]["steps_per_call"] == 2
+    assert r["sde"]["class"] == "VP"
+    assert r["sde"]["diff_coeff_sq_max"] == 20.0
+
+
+def test_cli_set_rejects_bad_namespace(tmp_path):
+    out = tmp_path / "badns"
+    proc = run_cli(["--solver", "vp_rds", "--set", "nosuch.lr=1"], out)
+    assert proc.returncode != 0
+    assert "--set expects NS.KEY=VALUE" in proc.stderr
+
+
 def test_cli_failure_writes_error_txt(tmp_path):
     out = tmp_path / "fail"
     proc = subprocess.run(
