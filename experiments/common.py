@@ -103,7 +103,14 @@ def run_vi(key, solver_type, target_details, solver_details, training_details,
         key, k_eval = jax.random.split(key)
         res = wrapper.evaluate(k_eval)
         all_metrics.append(res.metrics)
-    return model, list_of_dict_2_dict_of_list(all_metrics)
+    out = list_of_dict_2_dict_of_list(all_metrics)
+    # record the exact sinkhorn semantics used, so dumped metrics are only
+    # compared to reference-pipeline numbers when reference_comparable
+    # (eval/sinkhorn.py Sinkhorn.config; VERDICT r1 #9)
+    sk = getattr(model, "sample_losses", {}).get("sinkhorn")
+    if sk is not None:
+        out["sinkhorn_config"] = sk.config
+    return model, out
 
 
 def run_sampling_baseline(key, kind, target, mean, var, eval_batch_size: int,
@@ -149,6 +156,7 @@ def run_sampling_baseline(key, kind, target, mean, var, eval_batch_size: int,
         collected = [pooled] if pooled.shape[0] else []
     out = list_of_dict_2_dict_of_list(all_metrics) if all_metrics else {}
     out["eval/sample_time"] = sampling_time / max(n_sampling_seeds, 1)
+    out["sinkhorn_config"] = sinkhorn.config
     return out
 
 

@@ -64,6 +64,19 @@ class Sinkhorn:
         self.eps_annealing = eps_annealing
         self.eps_start = eps_start
 
+    @property
+    def config(self) -> dict:
+        """Serializable settings, recorded in experiment result dumps so
+        paper-table comparisons are apples-to-apples. With the default
+        ``eps_annealing=True`` the values are NOT drop-in comparable to the
+        reference pykeops pipeline (which runs raw ε=1e-3 updates and stalls
+        in f32); set ``eps_annealing=False`` to reproduce its semantics."""
+        return {"p": self.p, "eps": self.eps, "max_iters": self.max_iters,
+                "stop_thresh": self.stop_thresh, "n_max": self.n_max,
+                "eps_annealing": self.eps_annealing,
+                "eps_start": self.eps_start, "backend": self.backend,
+                "reference_comparable": not self.eps_annealing}
+
     def _blocked_lse(self, x, y, dual, eps, transpose: bool):
         """logsumexp_j[(-M_ij + dual_j)/eps] over blocks of rows.
 

@@ -1,1 +1,2 @@
-from .mesh import get_mesh, shard_batch, replicate, data_axis
+from .mesh import (get_mesh, shard_batch, replicate, data_axis,
+                   batch_sharding, constrain_batch)

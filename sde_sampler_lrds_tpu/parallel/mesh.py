@@ -44,5 +44,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(data_axis))
 
 
+def constrain_batch(x, mesh: Mesh | None):
+    """Inside-jit sharding constraint: split the leading (particle) axis over
+    the data axis. Without this, a batch generated under jit from a replicated
+    PRNG key inherits replicated sharding and every device redundantly
+    simulates the FULL batch. No-op on a 1-device mesh or when the batch does
+    not divide the mesh (tiny smoke batches)."""
+    if mesh is None or mesh.devices.size <= 1 or x.shape[0] % mesh.devices.size:
+        return x
+    return jax.lax.with_sharding_constraint(x, batch_sharding(mesh))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import serialization
 
 from ..losses.base import compute_results
+from ..parallel.mesh import constrain_batch
 from ..sde.langevin import ControlledLangevinSDE, ControlledSDE
 from ..sde.integrator import integrate_sde
 from ..targets.base import Target, WrapperDistrNN
@@ -80,6 +81,7 @@ class TrainableDiff(Trainable):
     def loss_fn(self, params, key: jax.Array):
         k_prior, k_sim = jax.random.split(key)
         x = self.prior.sample(k_prior, (self.cfg.train_batch_size,))
+        x = constrain_batch(x, self.mesh)
         loss, metrics = self.loss(k_sim, self.train_ts, x, self.ctrl_fn(params),
                                   **self.loss_call_args())
         return loss, metrics
@@ -89,6 +91,7 @@ class TrainableDiff(Trainable):
         params = self.state.ema_params if (use_ema and self.cfg.use_ema) else self.state.params
         k_prior, k_sim = jax.random.split(key)
         x = self.prior.sample(k_prior, (self.cfg.eval_batch_size,))
+        x = constrain_batch(x, self.mesh)
         return self.loss.eval(k_sim, self.eval_ts, x, self.ctrl_fn(params),
                               compute_weights=compute_weights,
                               return_traj=return_traj, **self.loss_call_args())
@@ -144,6 +147,7 @@ class Bridge(TrainableDiff):
     def loss_fn(self, params, key: jax.Array):
         k_prior, k_sim = jax.random.split(key)
         x = self.prior.sample(k_prior, (self.cfg.train_batch_size,))
+        x = constrain_batch(x, self.mesh)
         kwargs = self.loss_call_args()
         if self.inference_ctrl_module is not None:
             kwargs["inference_ctrl"] = self.inference_ctrl_fn(params)
@@ -154,6 +158,7 @@ class Bridge(TrainableDiff):
         params = self.state.ema_params if (use_ema and self.cfg.use_ema) else self.state.params
         k_prior, k_sim = jax.random.split(key)
         x = self.prior.sample(k_prior, (self.cfg.eval_batch_size,))
+        x = constrain_batch(x, self.mesh)
         kwargs = self.loss_call_args()
         if self.inference_ctrl_module is not None:
             kwargs["inference_ctrl"] = self.inference_ctrl_fn(params)
