@@ -1,0 +1,63 @@
+"""LRDS on the MNIST MixtureNice target with the UNet control network.
+
+The reference exposes this pipeline through
+experiments/benchmark_utils.make_model ('mnist'/'mnist_zero_one' target
+names at benchmark_utils.py:44,80-83 with the '*unet_zero_init' model types
+at :31-38 -> conf/model/basic_unet.yaml -> models/mnist_unet.py:238) but
+ships no standalone driver; this driver closes that end-to-end path: MALA
+dataset seeded at the digit-mean images -> fitted reference (Gaussian or
+196-d diagonal GMM, one component per digit) -> VP-RDS with the 14x14 UNet
+-> digit-classification mode metrics (mode_weight, entropy/KL/TV of the
+digit histogram, forgotten modes — distr/nice.py:538-605).
+"""
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from common import (add_common_args, announce, dump_results, lrds_run,
+                    make_target, make_target_details)
+
+DATA_DIR = Path(__file__).parents[1] / "data"
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--solver_type", type=str, default="vp-ref",
+                    choices=["vp-ref", "pbm-ref"])
+parser.add_argument("--ref_type", type=str, default="gmm",
+                    choices=["gaussian", "gmm"])
+parser.add_argument("--integrator_type", type=str, default="ei")
+parser.add_argument("--target_type", type=str, default="mnist_zero_one",
+                    choices=["mnist_zero_one", "mnist"])
+parser.add_argument("--model_type", type=str, default="unet_zero_init",
+                    choices=["unet_zero_init", "base_zero_init"])
+parser.add_argument("--mcmc_step_size", type=float, default=1e-4)
+add_common_args(parser, dataset_size=20000, train_steps=2048,
+                train_batch=256, eval_batch=2048)
+args = parser.parse_args()
+config = vars(args)
+announce(config)
+
+filename = (f"mnist_{args.target_type}_ref_{args.ref_type}"
+            f"_model_{args.model_type}_solver_{args.solver_type}"
+            f"_seed_{args.seed}.pkl")
+details = make_target_details(args.target_type)
+target = make_target(details)
+
+# Seed the MALA chains at the digit-mean images mapped into the target's
+# normalized [-1, 1] space (MixtureNice._maybe_unnormalize: u = (x+1)/2),
+# the MNIST analogue of seeding at known energy minima.
+digits = (0, 1) if args.target_type == "mnist_zero_one" else tuple(range(10))
+means = np.stack([np.load(DATA_DIR / f"mnist_mean_label_{d}.npy").reshape(-1)
+                  for d in digits])
+x_init = jax.numpy.asarray(2.0 * means - 1.0)
+
+res = lrds_run(args, target, details, x_init, args.ref_type,
+               extra_params={"target": args.target_type,
+                             "model_type": args.model_type},
+               solver_type=args.solver_type,
+               integrator_type=args.integrator_type,
+               model_type=args.model_type,
+               n_gmm_components=len(digits),
+               mcmc_step_size=args.mcmc_step_size)
+dump_results(args.results_path, filename, config, [res])
