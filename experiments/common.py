@@ -298,7 +298,9 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
                         swap_frequency=16, initial_n_warmup_mcmc_steps=64,
                         n_accumulation_steps=1, means_init=None,
                         reg_val=0.0, reweight_loss=False, use_ema=False,
-                        use_precond=False, return_trainer=False):
+                        use_precond=False, return_trainer=False,
+                        target=None, select_best=False, select_size=4096,
+                        select_every=None):
     """Fit a GMM on the dataset, tilt it with a neural energy, and train the
     EBM by RE-based contrastive MLE (the *_ebm_mcmc.py reference pipeline:
     fit_gmm -> GMMTiltedPotential -> MaximumLikelihoodEBM.train). Returns the
@@ -307,7 +309,16 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
     The extra knobs expose the reference's phi4 protocol
     (sample_phi_four_ebm_mcmc.py:129-173: 6x128 net, t_limit 0.2, 200
     levels, lr 1e-3 + AdamW decay 1e-2, batch 32 with 10-step gradient
-    accumulation, perc_keep_mcmc 0.5, initial warmup 4096)."""
+    accumulation, perc_keep_mcmc 0.5, initial warmup 4096).
+
+    ``select_best=True`` (needs ``target``) enables forward-ESS checkpoint
+    selection: every ``select_every`` steps (default one epoch) the
+    reference's forward ESS against the target is scored on ``select_size``
+    held-out dataset samples and the best checkpoint is returned instead of
+    the final one. This is the variance-control protocol for seed-fragile
+    contrastive runs (docs/RESULTS.md, φ⁴): the score peaks between
+    under-training (tilt ≈ 0, reference = seeded GMM) and over-training
+    (locks onto the dataset's empirical, seed-noisy mode balance)."""
     from sde_sampler_lrds_tpu.models import FourierMLP, GMMTiltedPotential
     from sde_sampler_lrds_tpu.sde import VP
     from sde_sampler_lrds_tpu.targets import Gauss
@@ -354,9 +365,26 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
         trainer.precond_matrix_per_noise = pm
         trainer.precond_matrix_chol_per_noise = pchol
         trainer.use_precond = True
+    select_fn = None
+    if select_best:
+        assert target is not None, "select_best needs the target"
+        n_sel = min(select_size, dataset.shape[0])
+        # held-out-style fixed slice (the trainer shuffles batches per epoch,
+        # so a fixed prefix is as good as a random subset for scoring)
+        xs_sel = jnp.asarray(dataset[:n_sel])
+        ts_sel = jnp.full((n_sel,), 1e-4)
+
+        @jax.jit
+        def select_fn(params):
+            lw = pot.apply(params, ts_sel, xs_sel, method="unnorm_log_prob") \
+                - target.unnorm_log_prob(xs_sel)
+            return jnp.exp(2.0 * jax.scipy.special.logsumexp(lw)
+                           - jax.scipy.special.logsumexp(2.0 * lw)) / n_sel
+
     t0 = time.time()
     stage(f"training EBM reference ({ebm_epochs} epochs, {n_levels} levels, "
-          f"batch {ebm_batch_size} x acc {n_accumulation_steps})")
+          f"batch {ebm_batch_size} x acc {n_accumulation_steps}"
+          + (", fwd-ESS selection" if select_best else "") + ")")
     losses, gnorms, diags = trainer.train(
         key, jnp.asarray(dataset), batch_size=ebm_batch_size,
         n_epochs=ebm_epochs, lr=lr, decay=decay,
@@ -364,16 +392,24 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
         n_mcmc_steps=n_mcmc_steps, reg_val=reg_val,
         reweight_loss=reweight_loss, use_ema=use_ema,
         n_accumulation_steps=n_accumulation_steps,
-        batches_per_call=batches_per_call)
+        batches_per_call=batches_per_call,
+        select_fn=select_fn, select_every=select_every)
     t_train = time.time() - t0
     stage(f"EBM reference done in {t_train:.1f}s")
     params = trainer.ema_params
+    if select_best and trainer.best_params is not None:
+        stage(f"selected checkpoint: step {trainer.best_step} "
+              f"(fwd ESS {trainer.best_score:.4f})")
+        params = trainer.best_params
     # (score_apply, log_prob_apply, params) — the serializable nn-reference
     # form: RDS checkpoints then persist the trained EBM params
     # (solver/oc.py:634-666 parity; see RDS.save_attrs)
     score_apply = lambda p, t, x: pot.apply(p, t, x)
     log_prob_apply = lambda p, t, x: pot.apply(p, t, x, method="unnorm_log_prob")
     extra = {"ebm_train": t_train}
+    if select_best and trainer.best_params is not None:
+        extra["ebm_select_step"] = trainer.best_step
+        extra["ebm_select_fwd_ess"] = trainer.best_score
     if return_trainer:
         extra["trainer"] = trainer
         extra["losses"] = losses
@@ -416,6 +452,7 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
             scale = 0.05 * np.asarray(dataset.std(axis=0))
             mi = mi + rng.normal(size=mi.shape) * scale[None]
         ebm_kwargs.setdefault("means_init", mi)
+    ebm_kwargs.setdefault("target", target)  # for select_best fwd-ESS scoring
     net, ebm_times = train_ebm_reference(
         k_ebm, dataset, mean, var_diag, n_gmm_components=n_gmm_components,
         em_type=em_type, **ebm_kwargs)

@@ -148,7 +148,8 @@ class MaximumLikelihoodEBM:
               n_mcmc_steps: int = 32, n_accumulation_steps: int = 1,
               reg_val: float = 0.0, use_ema: bool = False,
               ema_decay: float = 0.995, ema_steps: int = 10,
-              batches_per_call: int = 1, verbose: bool = False):
+              batches_per_call: int = 1, verbose: bool = False,
+              select_fn=None, select_every: int | None = None):
         """Fused contrastive-MLE training.
 
         The first batch (with its long ``initial_n_warmup_mcmc_steps`` warmup)
@@ -171,6 +172,16 @@ class MaximumLikelihoodEBM:
         n_batches % A != 0. (Because the params are frozen within a group,
         recomputing the negative energy each micro-step is exactly the
         reference's retain_graph re-backward.)
+
+        ``select_fn(params) -> float`` enables best-checkpoint selection
+        (higher is better — e.g. forward ESS of the reference against the
+        target, the protocol that stabilizes seed-fragile contrastive runs:
+        under-training leaves the tilt ≈ 0, over-training locks onto the
+        dataset's empirical mode balance; the score peaks in between). It is
+        evaluated on the live (EMA if ``use_ema``) params at fused-call
+        boundaries, at most every ``select_every`` optimizer-loop steps
+        (default: one epoch); the best params/score/step are stored on
+        ``self.best_params`` / ``self.best_score`` / ``self.best_step``.
 
         ``use_ema`` mirrors the reference's AveragedModel schedule
         (ebm_mle.py:622-626, 790): one blend every ``ema_steps`` optimizer
@@ -361,6 +372,20 @@ class MaximumLikelihoodEBM:
                     f"{offset + i}.")
 
         losses, grad_norms, diagnostics = [], [], []
+        self.best_params = self.best_score = self.best_step = None
+        sel_every = select_every if select_every is not None else n_batches
+        sel_last = [-(10**9)]
+
+        def maybe_select(step_pos, params, ema):
+            if select_fn is None or step_pos - sel_last[0] < sel_every:
+                return
+            sel_last[0] = step_pos
+            score = float(select_fn(ema if use_ema else params))
+            if np.isfinite(score) and (self.best_score is None
+                                       or score > self.best_score):
+                self.best_score, self.best_step = score, step_pos
+                self.best_params = ema if use_ema else params
+
         grad_acc = jax.tree.map(jnp.zeros_like, self.params)
         opt_step = jnp.asarray(0, jnp.int32)
         # first batch: long initial warmup, also normalizes the persistent
@@ -374,6 +399,7 @@ class MaximumLikelihoodEBM:
         losses.append(float(loss))
         grad_norms.append(float(gnorm))
         diagnostics.append(jax.tree.map(float, dm))
+        maybe_select(1, self.params, self.ema_params)
 
         spc = max(int(batches_per_call), 1)
         pos = 1
@@ -394,6 +420,10 @@ class MaximumLikelihoodEBM:
             for i in range(hi - pos):
                 diagnostics.append(jax.tree.map(lambda v: float(v[i]), dm_host))
             pos = hi
+            maybe_select(pos, carry[0], carry[4])
         self.params, _grad_acc, opt_state, _opt_step, self.ema_params, \
             step_sizes, persistent, _ = carry
+        # always score the final params so select_fn covers the whole run
+        sel_last[0] = -(10**9)
+        maybe_select(total_steps, self.params, self.ema_params)
         return np.asarray(losses), np.asarray(grad_norms), diagnostics

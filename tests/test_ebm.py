@@ -27,6 +27,7 @@ def make_potential(sde, zero_init=True):
         sde=sde, weights=WEIGHTS, means=MEANS, variances=VARS, tilt_type="dot")
 
 
+@pytest.mark.slow
 def test_gmm_tilted_potential_init_is_noised_gmm():
     """With a near-zero-init net the tilted score equals the exact noised-GMM
     score at every level (the whole point of the construction)."""
@@ -69,6 +70,7 @@ def test_gmm_tilted_sample_prior():
     np.testing.assert_allclose(np.asarray(s.mean(0)), np.asarray(mean), atol=0.1)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sampler", ["annealed_mcmc", "smc", "replica_exchange", "cd"])
 def test_mle_ebm_trains(sampler):
     sde = VP()
@@ -86,6 +88,7 @@ def test_mle_ebm_trains(sampler):
     assert len(losses) >= 2
 
 
+@pytest.mark.slow
 def test_gmm_tilted_eig_covariances_match_dense():
     """Eigendecomposed full covariances (the cheap no-Cholesky noised-marginal
     path, sde/linear.py _factored_noised_mog) must agree with dense ones."""
@@ -112,6 +115,7 @@ def test_gmm_tilted_eig_covariances_match_dense():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sampler", ["replica_exchange", "smc", "cd"])
 def test_mle_ebm_fused_matches_unfused(sampler):
     """batches_per_call must not change the numerics (fold_in key schedule)."""
@@ -139,6 +143,7 @@ def test_mle_ebm_fused_matches_unfused(sampler):
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), p1, p4)
 
 
+@pytest.mark.slow
 def test_mle_ebm_gradient_accumulation():
     """A>1 reproduces the reference's accumulation (ebm_mle.py:702,785):
     negatives refresh every A batches, one optimizer step per group, and the
@@ -181,6 +186,7 @@ def test_mle_ebm_gradient_accumulation():
             n_accumulation_steps=2)
 
 
+@pytest.mark.slow
 def test_daebm_trains():
     sde = VP()
     target = Gauss(dim=2, loc=0.5, scale=0.8)
@@ -194,6 +200,7 @@ def test_daebm_trains():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_drl_trains():
     sde = VP()
     target = Gauss(dim=2, loc=0.5, scale=0.8)
@@ -207,6 +214,7 @@ def test_drl_trains():
     assert 0.0 <= np.mean(accs) <= 1.0
 
 
+@pytest.mark.slow
 def test_score_matching_learns_gaussian_score():
     """DSM on N(mu, v) data: the learned score at small t approaches the
     analytic noised score; ancestral samples match the data moments."""
@@ -245,3 +253,36 @@ def test_target_and_perfect_score_matching_losses():
                                score_net=net, t_start=0.01, t_end=0.99, n_steps=8)
     losses = psm.train(jax.random.PRNGKey(15), data, batch_size=128, n_epochs=3)
     assert np.isfinite(losses).all()
+
+
+@pytest.mark.slow
+def test_mle_ebm_select_fn_tracks_best_checkpoint():
+    """select_fn checkpoint selection: scored at (at most) every
+    select_every steps; best_params/score/step hold the argmax, and
+    best_params reproduce best_score when re-scored."""
+    sde = VP()
+    target = GMM(dim=2, loc=MEANS, scale=jnp.sqrt(VARS), mixture_weights=WEIGHTS)
+    prior = Gauss(dim=2, loc=0.0, scale=1.0)
+    data = target.sample(jax.random.PRNGKey(4), (256,))
+    pot = make_potential(sde)
+    trainer = MaximumLikelihoodEBM(sde, prior, pot, sampler_type="replica_exchange",
+                                   step_sizes_per_noise=1e-2, n_steps=6)
+    scores = []
+
+    def select_fn(params):
+        lw = pot.apply(params, jnp.full((128,), 1e-4), data[:128],
+                       method="unnorm_log_prob") - target.unnorm_log_prob(data[:128])
+        ess = float(jnp.exp(2 * jax.scipy.special.logsumexp(lw)
+                            - jax.scipy.special.logsumexp(2 * lw))) / 128
+        scores.append(ess)
+        return ess
+
+    trainer.train(jax.random.PRNGKey(5), data, batch_size=32, n_epochs=3,
+                  initial_n_warmup_mcmc_steps=8, n_mcmc_steps=4,
+                  batches_per_call=4, select_fn=select_fn, select_every=4)
+    assert trainer.best_params is not None
+    assert len(scores) >= 3
+    assert trainer.best_score == pytest.approx(max(scores))
+    # the stored params really are the ones that scored best
+    assert select_fn(trainer.best_params) == pytest.approx(trainer.best_score,
+                                                           rel=1e-6)
