@@ -21,41 +21,47 @@ from sde_sampler_lrds_tpu.targets import TwoModes
 TRAIN = {"train_steps": 12, "train_batch_size": 64, "eval_batch_size": 256}
 TARGET = make_target_details("two_modes", dim=2)
 
+# One representative ("vp-ref-ei-snr", the flagship RDS path) stays in the
+# <5-min default selection; the rest are @slow (each ~15-30 s of compile
+# on the 1-CPU CI budget — SURVEY.md §4).
+_slow = pytest.mark.slow
 CONFIGS = [
     ("vp-ref-em-lv", dict(solver_type="vp-ref", ref_type="default", loss_type="lv",
                           integrator_type="em", model_type="base_zero_init",
-                          time_type="uniform")),
+                          time_type="uniform"), _slow),
     ("vp-ref-ei-snr", dict(solver_type="vp-ref", ref_type="default", loss_type="lv",
                            integrator_type="ei", model_type="base_zero_init",
-                           time_type="snr")),
+                           time_type="snr"), None),
     ("vp-ref-ddpm-snr", dict(solver_type="vp-ref", ref_type="default", loss_type="kl",
                              integrator_type="ddpm_like", model_type="base_zero_init",
-                             time_type="snr")),
+                             time_type="snr"), _slow),
     ("pbm-ref-ei-snr", dict(solver_type="pbm-ref", ref_type="default", loss_type="lv",
                             integrator_type="ei", model_type="base_zero_init",
-                            time_type="snr")),
+                            time_type="snr"), _slow),
     ("pis-orig", dict(solver_type="pis_orig", ref_type="default", loss_type="lv",
                       integrator_type="em", model_type="target_informed_zero_init",
-                      time_type="uniform")),
+                      time_type="uniform"), _slow),
     ("dds-orig", dict(solver_type="dds_orig", ref_type="default", loss_type="lv",
                       integrator_type="em", model_type="target_informed_zero_init",
-                      time_type="uniform")),
+                      time_type="uniform"), _slow),
     ("dis-orig", dict(solver_type="dis_orig", ref_type="default", loss_type="lv",
                       integrator_type="em", model_type="target_informed_lerp_tempering",
-                      time_type="uniform")),
+                      time_type="uniform"), _slow),
     # base_zero_init with CMCD needs force_base_zero_init — the api mirrors
     # the reference's inverted check (benchmark_utils.py:122)
     ("cmcd", dict(solver_type="cmcd", ref_type="default", loss_type="lv",
                   integrator_type="em", model_type="base_zero_init",
-                  time_type="uniform", force_base_zero_init=True)),
+                  time_type="uniform", force_base_zero_init=True), _slow),
     ("vp-ref-langevin", dict(solver_type="vp-ref", ref_type="default", loss_type="kl",
                              integrator_type="em",
                              model_type="target_informed_langevin_init",
-                             time_type="uniform")),
+                             time_type="uniform"), _slow),
 ]
 
 
-@pytest.mark.parametrize("name,axes", CONFIGS, ids=[c[0] for c in CONFIGS])
+@pytest.mark.parametrize(
+    "name,axes",
+    [pytest.param(n, a, id=n, marks=[m] if m else []) for n, a, m in CONFIGS])
 def test_make_model_trains(name, axes):
     model = make_model(**axes, solver_details={"sigma": 1.0}, target_details=TARGET,
                        training_details=TRAIN, n_steps=8,
@@ -88,6 +94,7 @@ def test_make_model_validation_rules():
                    "target_informed_langevin_init", "snr", **kw)
 
 
+@pytest.mark.slow
 def test_full_lrds_pipeline_gmm_reference():
     """The LRDS flagship pipeline: MALA dataset -> sklearn GMM fit -> RDS with
     the fitted GMM reference -> short train -> wrapper eval with EUBO."""
@@ -121,6 +128,7 @@ def test_full_lrds_pipeline_gmm_reference():
     assert abs(results.log_norm_const_preds["log_norm_const_is"]) < 0.5
 
 
+@pytest.mark.slow
 def test_fit_gmm_full_covariance():
     key = jax.random.PRNGKey(2)
     data = jax.random.normal(key, (2000, 3)) * jnp.asarray([1.0, 2.0, 0.5])
@@ -128,6 +136,7 @@ def test_fit_gmm_full_covariance():
     assert v.shape == (2, 3, 3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("em_type", ["diag", "full"])
 def test_fit_gmm_jax_matches_sklearn(em_type):
     """Device-resident EM (utils/gmm_fit.py) recovers the same mixture as the
@@ -150,6 +159,7 @@ def test_fit_gmm_jax_matches_sklearn(em_type):
     np.testing.assert_allclose(diag_j, diag_s, rtol=0.05, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_tempering_smc_and_re_baselines():
     target = TwoModes(dim=2, n_reference_samples=16384)
     mean = jnp.zeros(2)

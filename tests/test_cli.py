@@ -9,6 +9,7 @@ import json
 import subprocess
 import sys
 from pathlib import Path
+import pytest
 
 REPO = Path(__file__).parents[1]
 MAIN = REPO / "scripts" / "main.py"
@@ -27,6 +28,7 @@ def run_cli(extra, out_dir):
                           timeout=600)
 
 
+@pytest.mark.slow
 def test_cli_run_writes_artifacts(tmp_path):
     out = tmp_path / "run"
     proc = run_cli(["--solver", "vp_rds"], out)
@@ -39,6 +41,7 @@ def test_cli_run_writes_artifacts(tmp_path):
     assert list((out / "ckpt").glob("ckpt*.msgpack")), "final checkpoint missing"
 
 
+@pytest.mark.slow
 def test_cli_resume_from_checkpoint(tmp_path):
     out = tmp_path / "resume"
     proc = run_cli(["--solver", "vp_rds"], out)
@@ -48,6 +51,7 @@ def test_cli_resume_from_checkpoint(tmp_path):
     assert "resumed from step 6" in (proc2.stderr + proc2.stdout)
 
 
+@pytest.mark.slow
 def test_cli_set_overrides(tmp_path):
     """--set dotted overrides (the hydra-override analogue) reach every
     config axis; resolved.json records the effective config."""
@@ -63,6 +67,7 @@ def test_cli_set_overrides(tmp_path):
     assert r["sde"]["diff_coeff_sq_max"] == 20.0
 
 
+@pytest.mark.slow
 def test_cli_set_rejects_bad_namespace(tmp_path):
     out = tmp_path / "badns"
     proc = run_cli(["--solver", "vp_rds", "--set", "nosuch.lr=1"], out)
@@ -70,6 +75,7 @@ def test_cli_set_rejects_bad_namespace(tmp_path):
     assert "--set expects NS.KEY=VALUE" in proc.stderr
 
 
+@pytest.mark.slow
 def test_cli_failure_writes_error_txt(tmp_path):
     out = tmp_path / "fail"
     proc = subprocess.run(

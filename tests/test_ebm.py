@@ -47,6 +47,7 @@ def test_gmm_tilted_potential_init_is_noised_gmm():
                                    rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_gmm_tilted_grad_consistency():
     """unnorm_log_prob_and_grad's grad equals autodiff of unnorm_log_prob."""
     sde = VP()
@@ -236,6 +237,7 @@ def test_score_matching_learns_gaussian_score():
     assert float(samples.var(0).min()) > 0.35
 
 
+@pytest.mark.slow
 def test_target_and_perfect_score_matching_losses():
     sde = VP()
     target = Gauss(dim=2, loc=0.5, scale=0.8)

@@ -40,6 +40,7 @@ def test_sinkhorn_weighted_and_nmax():
     assert np.isfinite(d2)
 
 
+@pytest.mark.slow
 def test_sinkhorn_native_matches_xla():
     """The JIT-built C++/OpenMP host backend (eval/native, the pykeops-parity
     tier) must agree with the tiled-XLA kernel on the same inputs."""
@@ -87,6 +88,7 @@ def test_sliced_ks_discriminates():
     assert ks_same < 0.1
 
 
+@pytest.mark.slow
 def test_metrics_on_ground_truth_samples():
     """Reference oracle (tests/distr_eval.py:104-126): pushing true samples
     through the metric pipeline yields near-zero errors, IS-weighted equal to
@@ -107,6 +109,7 @@ def test_metrics_on_ground_truth_samples():
     assert metrics["error/mode_weight"] < 1.0
 
 
+@pytest.mark.slow
 def test_plots_bundle(tmp_path):
     target = TwoModes(dim=2, n_reference_samples=10_000)
     samples = target.sample(jax.random.PRNGKey(4), (2048,))

@@ -21,8 +21,19 @@ def test_all_drivers_present():
     assert len(DRIVERS) >= 16, [p.name for p in DRIVERS]
 
 
+# each --help subprocess pays a ~4 s jax import on the 1-CPU CI budget, so
+# the full 17-driver sweep is @slow; one representative stays default
+@pytest.mark.slow
 @pytest.mark.parametrize("driver", DRIVERS, ids=lambda p: p.stem)
 def test_driver_help(driver):
+    _check_driver_help(driver)
+
+
+def test_driver_help_representative():
+    _check_driver_help(REPO / "experiments" / "sample_toy_gmm_mcmc.py")
+
+
+def _check_driver_help(driver):
     proc = subprocess.run(
         [sys.executable, str(driver), "--help"], capture_output=True,
         text=True, cwd=REPO / "experiments", timeout=300)

@@ -138,6 +138,7 @@ def test_cmcd_logz_unbiased():
     assert abs(log_z) < 0.05, f"log Z bias {log_z}"
 
 
+@pytest.mark.slow
 def test_dis_losses_structural():
     """DIS variants: exact numerical parity with the torch reference is
     covered in test_torch_parity.py (an absolute log-Z oracle is meaningless
@@ -210,6 +211,7 @@ def test_rds_eubo_zero_ctrl(loss_name, loss_cls):
     np.testing.assert_allclose(np.asarray(rnd), 0.0, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_lv_loss_reduction_and_grad_path():
     """LV loss: 0 at the optimum (target == reference, u == 0) and finite
     gradients through the attached control."""

@@ -130,6 +130,7 @@ def _tempering_lpg(target, prior):
     return f
 
 
+@pytest.mark.slow
 def test_smc_sampler_two_modes():
     target = TwoModes(dim=2, n_reference_samples=10_000)
     prior = Gauss(dim=2, loc=0.0, scale=2.0)
@@ -179,6 +180,7 @@ def test_smc_pdds_mode():
     np.testing.assert_allclose(np.asarray(final.mean(0)), np.asarray(loc0), atol=0.1)
 
 
+@pytest.mark.slow
 def test_re_sampler_two_modes():
     target = TwoModes(dim=2, n_reference_samples=10_000)
     prior = Gauss(dim=2, loc=0.0, scale=2.0)
@@ -205,6 +207,7 @@ def test_re_sampler_two_modes():
     assert samples2.shape == (L, 4, B, 2)
 
 
+@pytest.mark.slow
 def test_re_sampler_identity_precond_matches_plain():
     """Per-level (L, D, D) preconditioning in re_sampler: identity matrices
     reproduce plain MALA exactly (the Prop-1 optimized ratio is exact, and

@@ -15,6 +15,7 @@ pytestmark = pytest.mark.skipif(
 from sde_sampler_lrds_tpu.api import make_target, make_target_details
 
 
+@pytest.mark.slow
 def test_mnist_zero_one_target():
     target = make_target(make_target_details("mnist_zero_one"))
     assert target.dim == 196 and target.n_digits == 2
@@ -33,6 +34,7 @@ def test_mnist_zero_one_target():
     assert float(counts[0] / counts.sum()) > 0.55
 
 
+@pytest.mark.slow
 def test_mnist_full_mixture():
     target = make_target(make_target_details("mnist"))
     assert target.n_digits == 10

@@ -42,6 +42,7 @@ def test_f_g_inverse():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_rec), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_log_det_matches_autodiff_jacobian():
     """The analytic log-det (sum of scales) equals the autodiff Jacobian."""
     model = small_model()
@@ -57,6 +58,7 @@ def test_log_det_matches_autodiff_jacobian():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_nice_training_improves_likelihood(tmp_path):
     """Train a small NICE on a 2-mode 8-D dataset; NLL decreases, samples
     match moments, checkpoint round-trips through Nice."""
@@ -82,6 +84,7 @@ def test_nice_training_improves_likelihood(tmp_path):
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_mixture_nice_two_flows(tmp_path):
     """MixtureNice over two small flows: normalized mixture log-prob, score
     via autodiff consistency, digit classification."""

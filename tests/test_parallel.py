@@ -50,6 +50,7 @@ def test_sharded_loss_matches_unsharded():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_mesh_sizes():
     """The full train step runs on 1, 4 and 8-device meshes with identical
     configs (the dryrun_multichip contract)."""
@@ -97,6 +98,7 @@ def test_constrain_batch_splits_under_jit():
     assert g(jax.random.PRNGKey(0)).shape == (63, 2)
 
 
+@pytest.mark.slow
 def test_evaluate_output_sharded_over_mesh():
     """An RDS eval pass on an 8-device mesh returns particle-sharded samples
     (sharding propagates through the trajectory scan)."""

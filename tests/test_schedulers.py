@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sde_sampler_lrds_tpu.solvers.schedulers import (
     CombinedScheduler,
@@ -71,6 +72,7 @@ def test_combined_scheduler():
     assert "lr" in c.get()
 
 
+@pytest.mark.slow
 def test_lr_schedule_in_train_step():
     """An optax schedule wired through TrainConfig actually decays the lr."""
     from sde_sampler_lrds_tpu.losses import EMReferenceSDELoss

@@ -36,6 +36,7 @@ def test_scale_variance_ode_identities(name, make):
     np.testing.assert_allclose(np.asarray(dsig), np.asarray(expected), rtol=2e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,make", SDES, ids=[s[0] for s in SDES])
 def test_transition_params_vs_em(name, make):
     """X_t = m·X_s + sqrt(v)·Z must match brute-force EM simulation."""

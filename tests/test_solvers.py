@@ -45,6 +45,7 @@ def run_short(solver, n=30):
     return losses, res
 
 
+@pytest.mark.slow
 def test_rds_em_end_to_end(tmp_path):
     target = Gauss(dim=2, loc=0.5, scale=1.2, n_reference_samples=10_000)
     prior = IsotropicGauss(dim=2)
@@ -64,6 +65,7 @@ def test_rds_em_end_to_end(tmp_path):
     jax.tree.map(np.testing.assert_array_equal, state_before, state_after)
 
 
+@pytest.mark.slow
 def test_rds_reference_switch():
     target = TwoModes(dim=2, n_reference_samples=10_000)
     prior = IsotropicGauss(dim=2)
@@ -82,6 +84,7 @@ def test_rds_reference_switch():
     run_short(solver, n=20)
 
 
+@pytest.mark.slow
 def test_pis_end_to_end():
     # PIS pairs the Dirac prior with plain Brownian motion (conf/sde/bm_pis);
     # PinnedBM's marginal at exactly t=T degenerates (0·inf) by design.
@@ -94,6 +97,7 @@ def test_pis_end_to_end():
     run_short(solver, n=20)
 
 
+@pytest.mark.slow
 def test_dds_end_to_end():
     target = Gauss(dim=2, loc=0.3, scale=1.0, n_reference_samples=10_000)
     prior = IsotropicGauss(dim=2, scale=1.0)
@@ -104,6 +108,7 @@ def test_dds_end_to_end():
     run_short(solver, n=20)
 
 
+@pytest.mark.slow
 def test_bridge_dis_end_to_end():
     target = Gauss(dim=2, loc=0.3, scale=1.0, n_reference_samples=10_000)
     prior = IsotropicGauss(dim=2, scale=1.0)
@@ -114,6 +119,7 @@ def test_bridge_dis_end_to_end():
     run_short(solver, n=20)
 
 
+@pytest.mark.slow
 def test_bridge_gbs_learned_inference_ctrl():
     target = Gauss(dim=2, loc=0.3, scale=1.0, n_reference_samples=10_000)
     prior = IsotropicGauss(dim=2, scale=1.0)
@@ -125,6 +131,7 @@ def test_bridge_gbs_learned_inference_ctrl():
     run_short(solver, n=10)
 
 
+@pytest.mark.slow
 def test_cmcd_end_to_end():
     target = TwoModes(dim=2, n_reference_samples=10_000)
     prior = Gauss(dim=2, loc=0.0, scale=2.0)
@@ -151,6 +158,7 @@ def test_langevin_solver():
     assert res.xs.shape == (201, 2048, 2)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_multi_device():
     """The same jitted step runs with the batch sharded over all 8 virtual
     devices (data-parallel particles; psum inserted by XLA)."""
@@ -169,6 +177,7 @@ def test_sharded_train_step_multi_device():
     assert np.isfinite(float(m["train/loss"]))
 
 
+@pytest.mark.slow
 def test_rds_reference_checkpoint_roundtrip(tmp_path):
     """RDS persists the fitted reference in checkpoints: a fresh solver that
     loads the checkpoint must evaluate the IDENTICAL reference_log_prob
@@ -217,6 +226,7 @@ def test_rds_reference_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.reference_log_prob(x_probe)), want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_rds_nn_reference_checkpoint_roundtrip(tmp_path):
     """The (score_apply, log_prob_apply, params) nn form serializes the EBM
     params; a fresh solver with the same architecture restores them."""

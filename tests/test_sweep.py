@@ -10,6 +10,7 @@ import json
 import subprocess
 import sys
 from pathlib import Path
+import pytest
 
 REPO = Path(__file__).parents[1]
 SWEEP = REPO / "scripts" / "sweep.py"
@@ -19,6 +20,7 @@ TINY_BASE = ("--device cpu --solver vp_rds --target two_modes --dim 2 "
              "--eval-batch-size 128 --eval-interval 1000000 --log-interval 2")
 
 
+@pytest.mark.slow
 def test_sweep_parallel_jobs_and_summary(tmp_path):
     out_root = tmp_path / "sweep"
     proc = subprocess.run(
@@ -37,6 +39,7 @@ def test_sweep_parallel_jobs_and_summary(tmp_path):
         assert (Path(j["out_dir"]) / "metrics.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_sweep_dotted_keys_route_via_set(tmp_path):
     out_root = tmp_path / "dotted"
     proc = subprocess.run(

@@ -9,6 +9,7 @@ import pytest
 from sde_sampler_lrds_tpu.models.mnist_unet import Unet
 
 
+@pytest.mark.slow
 def test_unet_forward_shapes_and_zero_init():
     """(t (B,), x (B, side²)) -> (B, side²); near-zero output at init when
     init_last_layer_with_zeros=True (the load-bearing contract of
@@ -29,6 +30,7 @@ def test_unet_forward_shapes_and_zero_init():
     assert float(jnp.max(jnp.abs(out2))) > 1e-3
 
 
+@pytest.mark.slow
 def test_make_ctrl_builds_unet():
     """api.make_ctrl must build the UNet for *unet_zero_init model types
     (VERDICT r1 #1; reference benchmark_utils.py:31-38)."""

@@ -13,6 +13,7 @@ from sde_sampler_lrds_tpu.solvers.wrappers import (
     list_of_dict_2_dict_of_list,
 )
 from sde_sampler_lrds_tpu.targets import Gauss, IsotropicGauss
+import pytest
 
 
 def make_solver(train_steps=24):
@@ -32,6 +33,7 @@ def test_list_of_dict_2_dict_of_list():
     assert out == {"a": [1, 3], "b": [2, 4]}
 
 
+@pytest.mark.slow
 def test_trainable_wrapper_run_with_eubo():
     wrapper = TrainableWrapper(make_solver())
     results, train_metrics = wrapper.run(jax.random.PRNGKey(0),
@@ -46,6 +48,7 @@ def test_trainable_wrapper_run_with_eubo():
     assert np.isfinite(results.metrics["eval/log_norm_const_is_f"])
 
 
+@pytest.mark.slow
 def test_wrapper_respects_steps_per_call():
     """With fused multi-step training (steps_per_call>1) the wrapper must
     stride its host loop, not call step() once per optimizer step."""
@@ -60,6 +63,7 @@ def test_wrapper_respects_steps_per_call():
     assert "eval/training_time" in results.metrics
 
 
+@pytest.mark.slow
 def test_wrapper_with_intermediates():
     wrapper = TrainableWrapperWithIntermediates(make_solver(train_steps=16))
     results, train_m, eval_m = wrapper.run(jax.random.PRNGKey(1), results_freq=8,
@@ -69,6 +73,7 @@ def test_wrapper_with_intermediates():
     assert len(eval_m["eval/elbo"][0]) == 2   # two seeds each
 
 
+@pytest.mark.slow
 def test_eubo_sandwich_on_trained_model():
     """After training on an easy Gaussian, EUBO (upper) and ELBO (lower)
     bracket log Z = 0 in expectation — allow finite-sample slack at this
