@@ -76,6 +76,8 @@ def get_metrics(
         fns["mode_weight"] = lambda s: float(distr.compute_mode_weight(s))
     if hasattr(distr, "compute_phi_four_weight"):
         fns["weight"] = lambda s: float(distr.compute_phi_four_weight(s))
+    if hasattr(distr, "compute_phi_four_weight_rb"):
+        fns["weight_rb"] = lambda s: float(distr.compute_phi_four_weight_rb(s))
     if distr.has_entropy():
         fns["emc"] = lambda s: float(distr.entropy(s))
         fns["kl_weights"] = lambda s: float(distr.kl_weights(s))

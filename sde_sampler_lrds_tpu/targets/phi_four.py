@@ -111,3 +111,29 @@ class PhiFour(Target):
         mask = samples[:, self.dim // 2] > 0
         frac = mask.mean()
         return (1.0 - frac) / frac
+
+    def compute_phi_four_weight_rb(self, samples: jnp.ndarray) -> jnp.ndarray:
+        """Z2-antithetic Rao-Blackwellized inter-well weight.
+
+        The φ⁴ energy is even in φ except for the magnetization tilt b·Σφ,
+        so for every sample pair {x, −x} the conditional probability of the
+        negative-well member is exact and normalization-free:
+            σ(x⁻ | {x,−x}) = sigmoid(log p̃(x⁻) − log p̃(x⁺)).
+        Averaging σ instead of the indicator removes the sampler's
+        mode-balance error entirely — the estimate depends only on the
+        folded (within-well) sample shape, whose mismatch appears
+        symmetrically in numerator and denominator and cancels to first
+        order. This estimator is immune to the seed-noise that makes the
+        raw `compute_phi_four_weight` fragile at collapsed IS ESS
+        (docs/RESULTS.md φ⁴ training-seed study); the reference pipeline
+        has no equivalent (distr/phi_four.py stops at the indicator
+        estimator).
+        """
+        lp_x = self.unnorm_log_prob(samples)
+        lp_m = self.unnorm_log_prob(-samples)
+        pos = samples[:, self.dim // 2] > 0
+        # log p̃ of the member of each pair lying in the negative well
+        lp_neg = jnp.where(pos, lp_m, lp_x)
+        lp_pos = jnp.where(pos, lp_x, lp_m)
+        sig_neg = jax.nn.sigmoid(lp_neg - lp_pos)
+        return sig_neg.mean() / (1.0 - sig_neg).mean()

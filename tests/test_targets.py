@@ -152,6 +152,7 @@ def test_compute_stats_gauss():
     assert abs(g.expectations["sum"]) < 0.05
 
 
+@pytest.mark.slow
 def test_logreg_log_prob_stable_at_confident_logits():
     """Regression: clipping sigmoid in probability space NaNs in float32
     (1-1e-8 rounds to 1.0, then (1-y)*log1p(-1) = 0*(-inf) = NaN) for
@@ -179,3 +180,34 @@ def test_logreg_log_prob_stable_at_confident_logits():
         - 0.5 * np.log(2 * np.pi * lr.intercept_scale**2))
     np.testing.assert_allclose(np.asarray(stable_ll), np.asarray(naive_ll),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_phi_four_rb_weight_immune_to_sample_balance():
+    """The Z2-antithetic Rao-Blackwellized weight must recover the
+    quadrature truth regardless of the sample set's own well balance,
+    while the indicator estimator just reports that balance."""
+    pf = PhiFour(a=0.5, b=0.05, dim=2, grid_points=129**2)
+    # quadrature truth: P(center site < 0) / P(center site > 0)
+    from sde_sampler_lrds_tpu.targets.base import boole_grid
+    pts, qw = boole_grid(pf.domain, 129**2)
+    lw = pf.unnorm_log_prob(pts) + jnp.log(qw)
+    w = jnp.exp(lw - jax.scipy.special.logsumexp(lw))
+    neg = pts[:, pf.dim // 2] < 0
+    truth = float(w[neg].sum() / w[~neg].sum())
+    # MALA-free synthetic proposal: Laplace-shaped Gaussians at the two
+    # true minima (gradient flow + Hessian covariance — the within-well
+    # shape a decent sampler achieves), deliberately mis-balanced 90/10
+    # (truth balance is ~52/48)
+    from sde_sampler_lrds_tpu.targets.base import run_gdflow
+    x_min = run_gdflow(pf.grad_U, jnp.stack([jnp.ones(2), -jnp.ones(2)]),
+                       10000, 5e-3)
+    cov_chol = jnp.linalg.cholesky(jnp.linalg.inv(pf.hessian(x_min[0])))
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    x_pos = x_min[0] + jax.random.normal(k1, (9000, 2)) @ cov_chol.T
+    x_neg = x_min[1] + jax.random.normal(k2, (1000, 2)) @ cov_chol.T
+    samples = jnp.concatenate([x_pos, x_neg])
+    raw = float(pf.compute_phi_four_weight(samples))
+    rb = float(pf.compute_phi_four_weight_rb(samples))
+    assert abs(raw - truth) > 0.5          # indicator inherits the 90/10
+    assert abs(rb - truth) < 0.12 * truth  # RB estimate lands on truth
