@@ -23,7 +23,7 @@ K_STEPS = 100
 BASELINE_THROUGHPUT = EVAL_BATCH * K_STEPS / 2.83  # reference CPU demo
 
 
-def main():
+def main(bf16: bool = False):
     from sde_sampler_lrds_tpu.api import fit_gmm, mcmc_sample
     from sde_sampler_lrds_tpu.losses import EIReferenceSDELoss
     from sde_sampler_lrds_tpu.models import ClippedCtrl, FourierMLP
@@ -37,7 +37,11 @@ def main():
     target = ManyModes(n_modes=4, dim=dim, var=0.5, n_reference_samples=10_000)
     prior = IsotropicGauss(dim=dim, loc=0.0, scale=1.0)
     sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
-    ctrl = ClippedCtrl(base_model=FourierMLP(dim=dim, zero_init=True), clip_model=1e4)
+    # --bf16: control matmuls in bfloat16 (params stay f32) — the MXU's
+    # native dtype; only reported if quality parity holds (stderr metrics)
+    dt = jnp.bfloat16 if bf16 else None
+    ctrl = ClippedCtrl(base_model=FourierMLP(dim=dim, zero_init=True,
+                                             compute_dtype=dt), clip_model=1e4)
     ts = get_timesteps(0.0, 1.0, steps=K_STEPS)
     cfg = TrainConfig(train_steps=256, train_batch_size=1024,
                       eval_batch_size=EVAL_BATCH, lr=3e-3,
@@ -126,4 +130,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(bf16="--bf16" in sys.argv)

@@ -259,7 +259,8 @@ def competing_run(args, target, target_details, x_init, filename_stub,
 def lrds_run(args, target, target_details, x_init, ref_type, extra_params=None,
              solver_type="vp-ref", integrator_type="ei", time_type="snr",
              model_type="base_zero_init", n_gmm_components=None,
-             em_type="diag", net=None, mcmc_step_size=1e-3):
+             em_type="diag", net=None, mcmc_step_size=1e-3,
+             optim_details=None):
     """One cell of a *_mcmc_gmm.py / *_ebm_mcmc.py LRDS driver: fit the
     requested reference from the MCMC dataset and train RDS on it."""
     key = jax.random.PRNGKey(args.seed)
@@ -284,7 +285,8 @@ def lrds_run(args, target, target_details, x_init, ref_type, extra_params=None,
          "eval_batch_size": args.eval_batch_size},
         n_sampling_seeds=args.n_sampling_seeds, ref_type=ref_type,
         integrator_type=integrator_type, time_type=time_type,
-        model_type=model_type, n_steps=args.n_steps)
+        model_type=model_type, n_steps=args.n_steps,
+        **({"optim_details": optim_details} if optim_details else {}))
     return {"metrics": all_metrics, "times": times, "params": extra_params or {},
             "gauss_params": {"mean": np.asarray(mean), "var": np.asarray(var)}}
 

@@ -32,7 +32,16 @@ parser.add_argument("--target_type", type=str, default="mnist_zero_one",
 parser.add_argument("--model_type", type=str, default="unet_zero_init",
                     choices=["unet_zero_init", "base_zero_init"])
 parser.add_argument("--mcmc_step_size", type=float, default=1e-4)
-add_common_args(parser, dataset_size=20000, train_steps=2048,
+# full-covariance per-digit GMM reference by default: MNIST pixels are
+# strongly correlated, and (as on phi_four — docs/RESULTS.md) a diagonal
+# reference cannot represent them, which starves the control
+parser.add_argument("--em_type", type=str, default="full",
+                    choices=["diag", "full"])
+parser.add_argument("--lr", type=float, default=3e-4)
+# multi_step decay (conf/lr_scheduler/multi_step.yaml semantics): x0.3 at
+# 1/2 and 3/4 of training — the long-run stabilizer for the 196-d control
+parser.add_argument("--lr_decay", type=float, default=0.3)
+add_common_args(parser, dataset_size=20000, train_steps=20000,
                 train_batch=256, eval_batch=2048)
 args = parser.parse_args()
 config = vars(args)
@@ -52,6 +61,11 @@ means = np.stack([np.load(DATA_DIR / f"mnist_mean_label_{d}.npy").reshape(-1)
                   for d in digits])
 x_init = jax.numpy.asarray(2.0 * means - 1.0)
 
+optim = {"lr": args.lr}
+if args.lr_decay and args.lr_decay != 1.0:
+    optim["lr_scheduler"] = {
+        "name": "multi_step", "gamma": args.lr_decay,
+        "milestones": [args.train_steps // 2, (3 * args.train_steps) // 4]}
 res = lrds_run(args, target, details, x_init, args.ref_type,
                extra_params={"target": args.target_type,
                              "model_type": args.model_type},
@@ -59,5 +73,7 @@ res = lrds_run(args, target, details, x_init, args.ref_type,
                integrator_type=args.integrator_type,
                model_type=args.model_type,
                n_gmm_components=len(digits),
-               mcmc_step_size=args.mcmc_step_size)
+               em_type=args.em_type,
+               mcmc_step_size=args.mcmc_step_size,
+               optim_details=optim)
 dump_results(args.results_path, filename, config, [res])

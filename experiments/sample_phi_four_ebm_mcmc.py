@@ -33,12 +33,17 @@ parser.add_argument("--ebm_net_channels", type=int, default=128)
 # (ebm_mle.py:591) and without it this contrastive-MLE run diverges at
 # ~epoch 32 (loss -> -1e9); 1e-3 keeps the 150-epoch run stable
 parser.add_argument("--ebm_reg_val", type=float, default=1e-3)
-# forward-ESS checkpoint selection (default ON): score the reference
-# against the target once per epoch on held-out dataset samples and keep
-# the best checkpoint — the seed-variance control protocol for this
-# target (docs/RESULTS.md); --no_select_best reproduces the raw
-# final-checkpoint reference behavior
-parser.add_argument("--no_select_best", action="store_true")
+# forward-ESS checkpoint selection (default OFF, opt in with
+# --select_best): in 100-d the forward ESS on data collapses to ~1e-4
+# (≈0.4 effective samples), so the per-epoch score is pure noise and can
+# pick a mid-training checkpoint whose off-manifold energies destabilize
+# the VI run (observed: seed 0 selected step 1201 and the sampler
+# diverged). The variance control that actually closes the seed-fragility
+# on this target is the Z2-antithetic eval/weight_rb estimator
+# (targets/phi_four.py), which is balance-independent by construction.
+parser.add_argument("--select_best", action="store_true")
+parser.add_argument("--no_select_best", action="store_true",
+                    help="deprecated no-op (selection is off by default)")
 add_common_args(parser)
 args = parser.parse_args()
 config = vars(args)
@@ -72,6 +77,6 @@ for b in [float(x) for x in args.b_range.split(",")]:
                             "initial_n_warmup_mcmc_steps": 4096,
                             "step_size": 1e-3,
                             "reg_val": args.ebm_reg_val,
-                            "select_best": not args.no_select_best,
+                            "select_best": args.select_best,
                         }))
     dump_results(args.results_path, filename, config, dump)

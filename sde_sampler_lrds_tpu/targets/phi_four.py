@@ -129,11 +129,21 @@ class PhiFour(Target):
         has no equivalent (distr/phi_four.py stops at the indicator
         estimator).
         """
-        lp_x = self.unnorm_log_prob(samples)
-        lp_m = self.unnorm_log_prob(-samples)
+        # The pair log-ratio is computed ANALYTICALLY: every even term of U
+        # cancels between x and −x, leaving exactly 2·β·b·Σφ/coef. Never
+        # subtract the two full log-probs here — for samples with large U
+        # the ~0.2-nat tilt difference is below f32 resolution of the two
+        # big numbers and σ collapses to exactly 1/2.
+        assert self.tilt is None, "tilt term is not odd — no analytic pair ratio"
+        m = self._reshape(samples).sum(self.sum_dims)
         pos = samples[:, self.dim // 2] > 0
-        # log p̃ of the member of each pair lying in the negative well
-        lp_neg = jnp.where(pos, lp_m, lp_x)
-        lp_pos = jnp.where(pos, lp_x, lp_m)
-        sig_neg = jax.nn.sigmoid(lp_neg - lp_pos)
-        return sig_neg.mean() / (1.0 - sig_neg).mean()
+        m_pos_member = jnp.where(pos, m, -m)
+        sig_neg = jax.nn.sigmoid(2.0 * self.beta * self.b * m_pos_member / self.coef)
+        # off-domain (diverged) samples sit in neither basin; their saturated
+        # σ would vote the tails' own balance into the ratio — drop them,
+        # consistently with eval/frac_pred_in_domain
+        lo, hi = self.domain[:, 0], self.domain[:, 1]
+        valid = jnp.all((samples >= lo) & (samples <= hi), axis=-1)
+        num = jnp.where(valid, sig_neg, 0.0).sum()
+        den = jnp.where(valid, 1.0 - sig_neg, 0.0).sum()
+        return num / den

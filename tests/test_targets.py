@@ -211,3 +211,17 @@ def test_phi_four_rb_weight_immune_to_sample_balance():
     rb = float(pf.compute_phi_four_weight_rb(samples))
     assert abs(raw - truth) > 0.5          # indicator inherits the 90/10
     assert abs(rb - truth) < 0.12 * truth  # RB estimate lands on truth
+
+
+def test_phi_four_rb_weight_ignores_diverged_samples():
+    """Diverged trajectories overflow U to inf on both pair members; the RB
+    weight must drop them instead of returning NaN."""
+    pf = PhiFour(a=0.1, b=0.02, dim=8)
+    key = jax.random.PRNGKey(1)
+    good = 0.8 * jnp.sign(jax.random.normal(key, (64, 1))) + \
+        0.1 * jax.random.normal(key, (64, 8))
+    bad = jnp.full((8, 8), 1e30)
+    w = float(pf.compute_phi_four_weight_rb(jnp.concatenate([good, bad])))
+    w_good = float(pf.compute_phi_four_weight_rb(good))
+    assert np.isfinite(w)
+    np.testing.assert_allclose(w, w_good, rtol=1e-6)
