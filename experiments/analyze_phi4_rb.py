@@ -1,0 +1,71 @@
+"""Post-hoc φ⁴ weight-estimator analysis over dumped result pickles.
+
+Reads `sample_phi_four_ebm_mcmc.py` pickles (which store the first eval
+pass's samples since the RB protocol landed) and prints, per seed:
+the dataset balance (raw + RB on MALA data), the VI sampler's raw
+(indicator) weight across eval seeds, and the Z2-antithetic
+Rao-Blackwellized weight (targets/phi_four.py:compute_phi_four_weight_rb)
+recomputed from the saved samples. Ground truth is the Laplace-corrected
+energy ratio (1.348 at a=0.1, b=0.02, dim=100).
+
+Usage: python analyze_phi4_rb.py [results_dir=results_rb]
+"""
+import glob
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main(results_dir="results_rb"):
+    import jax.numpy as jnp
+
+    from common import make_target, make_target_details
+
+    rows = []
+    for f in sorted(glob.glob(f"{results_dir}/*.pkl")):
+        d = pickle.load(open(f, "rb"))
+        cfg = d["config"]
+        for r in d["results"]:
+            b = r["params"]["b"]
+            target = make_target(make_target_details(
+                "phi_four", dim=r["params"]["dim"], b=b))
+            m = r["metrics"]
+            w = np.asarray(m["eval/weight"])
+            row = {
+                "seed": cfg["seed"], "b": b,
+                "dataset_raw": r.get("dataset_weight_raw"),
+                "dataset_rb": r.get("dataset_weight_rb"),
+                "vi_raw_mean": w.mean(), "vi_raw_lo": w.min(), "vi_raw_hi": w.max(),
+                "fwd_ess": r.get("forward_ess_ebm"),
+            }
+            wrb = m.get("eval/weight_rb")
+            if wrb is not None:
+                wrb = np.asarray(wrb)
+                row.update(vi_rb_mean=wrb.mean(), vi_rb_lo=wrb.min(),
+                           vi_rb_hi=wrb.max())
+            if "samples" in m:
+                s = jnp.asarray(m["samples"])
+                row["vi_rb_recomputed"] = float(
+                    target.compute_phi_four_weight_rb(s))
+            rows.append(row)
+    if not rows:
+        print(f"no pickles under {results_dir}/")
+        return
+    hdr = ("seed  b      data_raw  data_rb   vi_raw mean[lo,hi]      "
+           "vi_rb mean[lo,hi]       recomputed")
+    print(hdr)
+    for r in rows:
+        fm = lambda v: "   --  " if v is None else f"{v:7.3f}"
+        rb3 = (f"{r['vi_rb_mean']:7.3f}[{r['vi_rb_lo']:.3f},{r['vi_rb_hi']:.3f}]"
+               if "vi_rb_mean" in r else "        --          ")
+        print(f"{r['seed']:>4}  {r['b']:<5}  {fm(r['dataset_raw'])} "
+              f"{fm(r['dataset_rb'])}  {r['vi_raw_mean']:7.3f}"
+              f"[{r['vi_raw_lo']:.3f},{r['vi_raw_hi']:.3f}]  {rb3}  "
+              f"{fm(r.get('vi_rb_recomputed'))}")
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:2] or ["results_rb"]))

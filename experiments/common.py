@@ -81,8 +81,12 @@ def run_vi(key, solver_type, target_details, solver_details, training_details,
            n_sampling_seeds: int = 16, ref_type: str = "default",
            loss_type: str = "lv", integrator_type: str = "em",
            model_type: str = "target_informed_zero_init", time_type: str = "uniform",
-           n_steps: int = 100, **make_model_kwargs):
-    """Train a VI sampler and evaluate over n_sampling_seeds eval passes."""
+           n_steps: int = 100, keep_samples: bool = False, **make_model_kwargs):
+    """Train a VI sampler and evaluate over n_sampling_seeds eval passes.
+
+    ``keep_samples=True`` stores the first eval pass's sample array in the
+    returned metrics dict (key ``"samples"``, host numpy) so estimator-side
+    analyses can be rerun post hoc without retraining."""
     model = make_model(solver_type=solver_type, ref_type=ref_type,
                        loss_type=loss_type, integrator_type=integrator_type,
                        model_type=model_type, time_type=time_type,
@@ -104,6 +108,8 @@ def run_vi(key, solver_type, target_details, solver_details, training_details,
         res = wrapper.evaluate(k_eval)
         all_metrics.append(res.metrics)
     out = list_of_dict_2_dict_of_list(all_metrics)
+    if keep_samples and getattr(results, "samples", None) is not None:
+        out["samples"] = np.asarray(results.samples)
     # record the exact sinkhorn semantics used, so dumped metrics are only
     # compared to reference-pipeline numbers when reference_comparable
     # (eval/sinkhorn.py Sinkhorn.config; VERDICT r1 #9)
@@ -278,6 +284,12 @@ def lrds_run(args, target, target_details, x_init, ref_type, extra_params=None,
     elif ref_type == "nn":
         solver_details.update(net=net)
     times["ref_fit"] = time.time() - t0
+    extra_diag = {}
+    if hasattr(target, "compute_phi_four_weight_rb"):
+        extra_diag["dataset_weight_raw"] = float(
+            target.compute_phi_four_weight(jnp.asarray(dataset)))
+        extra_diag["dataset_weight_rb"] = float(
+            target.compute_phi_four_weight_rb(jnp.asarray(dataset)))
     _, all_metrics = run_vi(
         k_vi, solver_type, target_details, solver_details,
         {"train_steps": args.train_steps,
@@ -285,9 +297,10 @@ def lrds_run(args, target, target_details, x_init, ref_type, extra_params=None,
          "eval_batch_size": args.eval_batch_size},
         n_sampling_seeds=args.n_sampling_seeds, ref_type=ref_type,
         integrator_type=integrator_type, time_type=time_type,
-        model_type=model_type, n_steps=args.n_steps,
+        model_type=model_type, n_steps=args.n_steps, keep_samples=True,
         **({"optim_details": optim_details} if optim_details else {}))
     return {"metrics": all_metrics, "times": times, "params": extra_params or {},
+            **extra_diag,
             "gauss_params": {"mean": np.asarray(mean), "var": np.asarray(var)}}
 
 
@@ -473,6 +486,18 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
         2.0 * jax.scipy.special.logsumexp(lw)
         - jax.scipy.special.logsumexp(2.0 * lw))) / n_diag
     stage(f"EBM reference forward ESS on data: {fwd_ess:.4f}")
+    # dataset-side weight diagnostics: the raw estimator reports the
+    # dataset's (seed-noisy) balance; the RB estimator on the same samples
+    # checks the estimator itself independently of the VI sampler
+    extra_diag = {}
+    if hasattr(target, "compute_phi_four_weight"):
+        extra_diag["dataset_weight_raw"] = float(
+            target.compute_phi_four_weight(jnp.asarray(dataset)))
+    if hasattr(target, "compute_phi_four_weight_rb"):
+        extra_diag["dataset_weight_rb"] = float(
+            target.compute_phi_four_weight_rb(jnp.asarray(dataset)))
+        stage(f"dataset weight: raw {extra_diag['dataset_weight_raw']:.3f} "
+              f"rb {extra_diag['dataset_weight_rb']:.3f}")
     _, all_metrics = run_vi(
         k_vi, solver_type, target_details, {"sigma": 1.0, "net": net},
         {"train_steps": args.train_steps,
@@ -480,7 +505,8 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
          "eval_batch_size": args.eval_batch_size},
         n_sampling_seeds=args.n_sampling_seeds, ref_type="nn",
         integrator_type=integrator_type, time_type=time_type,
-        model_type="base_zero_init", n_steps=args.n_steps)
+        model_type="base_zero_init", n_steps=args.n_steps,
+        keep_samples=True)
     return {"metrics": all_metrics, "times": times, "params": extra_params or {},
-            "forward_ess_ebm": fwd_ess,
+            "forward_ess_ebm": fwd_ess, **extra_diag,
             "gauss_params": {"mean": np.asarray(mean), "var": np.asarray(var)}}

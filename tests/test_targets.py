@@ -225,3 +225,44 @@ def test_phi_four_rb_weight_ignores_diverged_samples():
     w_good = float(pf.compute_phi_four_weight_rb(good))
     assert np.isfinite(w)
     np.testing.assert_allclose(w, w_good, rtol=1e-6)
+
+
+def test_phi_four_transfer_matrix_matches_quadrature():
+    """The exact transfer-matrix oracle must agree with dense 2-d Boole
+    quadrature on weight AND log Z; the Laplace oracle does not (it is ~17%
+    high at these parameters — the reason the dim-100 'truth 1.348' in the
+    reference protocol is wrong; exact value 1.073)."""
+    pf = PhiFour(a=0.1, b=0.02, dim=2, grid_points=257**2)
+    from sde_sampler_lrds_tpu.targets.base import boole_grid
+    pts, qw = boole_grid(pf.domain, 257**2)
+    lw = pf.unnorm_log_prob(pts) + jnp.log(qw)
+    logz_quad = float(jax.scipy.special.logsumexp(lw))
+    w = jnp.exp(lw - logz_quad)
+    neg = pts[:, pf.dim // 2] < 0
+    truth = float(w[neg].sum() / w[~neg].sum())
+    w_tm = pf.compute_stats_transfer_matrix()
+    assert abs(w_tm - truth) < 0.01 * truth
+    # logZ on the SAME ±1.5 support as the box quadrature must agree tightly;
+    # the full ±3 support holds ~2% more tail mass (quadrature clips it)
+    pf_box = PhiFour(a=0.1, b=0.02, dim=2)
+    pf_box.compute_stats_transfer_matrix(grid_limit=1.5)
+    assert abs(pf_box.log_norm_const - logz_quad) < 0.005
+    assert pf.log_norm_const > logz_quad
+    pf2 = PhiFour(a=0.1, b=0.02, dim=2)
+    pf2.compute_stats_integration()  # also runs the TM oracle now
+    lap = pf2.expectations["true_weight_cor"]
+    assert abs(lap - truth) > 0.10 * truth  # Laplace really is off
+    assert pf2.expectations["weight"] == pytest.approx(w_tm, rel=1e-6)
+
+
+def test_phi_four_exact_sampler_matches_oracle():
+    """FFBS samples: raw and RB weight estimates must land on the
+    transfer-matrix truth, and site marginals must have the exact moments."""
+    pf = PhiFour(a=0.1, b=0.02, dim=6)
+    truth = pf.compute_stats_transfer_matrix()
+    s = pf.sample(jax.random.PRNGKey(0), (20000,))
+    assert s.shape == (20000, 6)
+    raw = float(pf.compute_phi_four_weight(s))
+    rb = float(pf.compute_phi_four_weight_rb(s))
+    assert abs(raw - truth) < 0.06 * truth   # MC error at n=20000
+    assert abs(rb - truth) < 0.02 * truth    # RB variance is far smaller
