@@ -8,7 +8,11 @@ Rao-Blackwellized weight (targets/phi_four.py:compute_phi_four_weight_rb)
 recomputed from the saved samples. Ground truth is the Laplace-corrected
 energy ratio (1.348 at a=0.1, b=0.02, dim=100).
 
-Usage: python analyze_phi4_rb.py [results_dir=results_rb]
+With ``--distances`` it also computes Sinkhorn/MMD/sliced-KS of the saved
+samples against exact FFBS ground truth (the per-eval-seed passes the
+drivers skip for wall-time; one pass here is enough).
+
+Usage: python analyze_phi4_rb.py [results_dir=results_rb] [--distances]
 """
 import glob
 import pickle
@@ -19,7 +23,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main(results_dir="results_rb"):
+def main(results_dir="results_rb", distances=False):
+    import jax
     import jax.numpy as jnp
 
     from common import make_target, make_target_details
@@ -50,6 +55,15 @@ def main(results_dir="results_rb"):
                 s = jnp.asarray(m["samples"])
                 row["vi_rb_recomputed"] = float(
                     target.compute_phi_four_weight_rb(s))
+                if distances:
+                    from sde_sampler_lrds_tpu.eval.ks import compute_sliced_ks
+                    from sde_sampler_lrds_tpu.eval.mmd import mmd_median
+                    from sde_sampler_lrds_tpu.eval.sinkhorn import Sinkhorn
+
+                    gt = target.sample(jax.random.PRNGKey(1234), (s.shape[0],))
+                    row["sinkhorn"] = float(Sinkhorn()(gt, s))
+                    row["mmd"] = float(mmd_median(gt, s))
+                    row["ks"] = float(compute_sliced_ks(gt, s))
             rows.append(row)
     if not rows:
         print(f"no pickles under {results_dir}/")
@@ -61,11 +75,16 @@ def main(results_dir="results_rb"):
         fm = lambda v: "   --  " if v is None else f"{v:7.3f}"
         rb3 = (f"{r['vi_rb_mean']:7.3f}[{r['vi_rb_lo']:.3f},{r['vi_rb_hi']:.3f}]"
                if "vi_rb_mean" in r else "        --          ")
+        dist = ""
+        if "sinkhorn" in r:
+            dist = (f"  sink {r['sinkhorn']:.3f}  mmd {r['mmd']:.4f}"
+                    f"  ks {r['ks']:.3f}")
         print(f"{r['seed']:>4}  {r['b']:<5}  {fm(r['dataset_raw'])} "
               f"{fm(r['dataset_rb'])}  {r['vi_raw_mean']:7.3f}"
               f"[{r['vi_raw_lo']:.3f},{r['vi_raw_hi']:.3f}]  {rb3}  "
-              f"{fm(r.get('vi_rb_recomputed'))}")
+              f"{fm(r.get('vi_rb_recomputed'))}{dist}")
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:2] or ["results_rb"]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(*(args[:1] or ["results_rb"]), distances="--distances" in sys.argv)

@@ -266,7 +266,7 @@ def lrds_run(args, target, target_details, x_init, ref_type, extra_params=None,
              solver_type="vp-ref", integrator_type="ei", time_type="snr",
              model_type="base_zero_init", n_gmm_components=None,
              em_type="diag", net=None, mcmc_step_size=1e-3,
-             optim_details=None):
+             optim_details=None, **model_kwargs):
     """One cell of a *_mcmc_gmm.py / *_ebm_mcmc.py LRDS driver: fit the
     requested reference from the MCMC dataset and train RDS on it."""
     key = jax.random.PRNGKey(args.seed)
@@ -298,7 +298,8 @@ def lrds_run(args, target, target_details, x_init, ref_type, extra_params=None,
         n_sampling_seeds=args.n_sampling_seeds, ref_type=ref_type,
         integrator_type=integrator_type, time_type=time_type,
         model_type=model_type, n_steps=args.n_steps, keep_samples=True,
-        **({"optim_details": optim_details} if optim_details else {}))
+        **({"optim_details": optim_details} if optim_details else {}),
+        **model_kwargs)
     return {"metrics": all_metrics, "times": times, "params": extra_params or {},
             **extra_diag,
             "gauss_params": {"mean": np.asarray(mean), "var": np.asarray(var)}}
@@ -435,7 +436,7 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
 def ebm_run(args, target, target_details, x_init, extra_params=None,
             solver_type="vp-ref", integrator_type="ei", time_type="snr",
             n_gmm_components=2, em_type="diag", mcmc_step_size=1e-3,
-            ebm_kwargs=None):
+            ebm_kwargs=None, **model_kwargs):
     """One cell of a *_ebm_mcmc.py driver: NN (tilted-EBM) reference."""
     key = jax.random.PRNGKey(args.seed)
     key, k_data, k_ebm, k_vi = jax.random.split(key, 4)
@@ -506,7 +507,7 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
         n_sampling_seeds=args.n_sampling_seeds, ref_type="nn",
         integrator_type=integrator_type, time_type=time_type,
         model_type="base_zero_init", n_steps=args.n_steps,
-        keep_samples=True)
+        keep_samples=True, **model_kwargs)
     return {"metrics": all_metrics, "times": times, "params": extra_params or {},
             "forward_ess_ebm": fwd_ess, **extra_diag,
             "gauss_params": {"mean": np.asarray(mean), "var": np.asarray(var)}}

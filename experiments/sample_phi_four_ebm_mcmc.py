@@ -61,6 +61,9 @@ for b in [float(x) for x in args.b_range.split(",")]:
                         integrator_type=args.integrator_type,
                         n_gmm_components=args.n_components,
                         em_type=args.em_type, mcmc_step_size=1e-4,
+                        # distance metrics vs the exact FFBS ground truth are
+                        # recomputed post hoc from the dumped samples
+                        compute_samples_based_metrics=False,
                         ebm_kwargs={
                             "ebm_epochs": args.ebm_epochs,
                             "ebm_batch_size": args.ebm_batch_size,

@@ -36,5 +36,9 @@ for b in [float(x) for x in args.b_range.split(",")]:
                          solver_type=args.solver_type,
                          integrator_type=args.integrator_type,
                          n_gmm_components=args.n_components,
-                         em_type=args.em_type, mcmc_step_size=1e-4))
+                         em_type=args.em_type, mcmc_step_size=1e-4,
+                         # sinkhorn/mmd/ks vs the exact FFBS ground truth are
+                         # recomputed post hoc from the dumped samples (the
+                         # per-eval-seed n=8192 passes dominate wall time)
+                         compute_samples_based_metrics=False))
     dump_results(args.results_path, filename, config, dump)
