@@ -120,13 +120,15 @@ def main():
         solver, sample = build_sampler(mesh, batch)
         # sharded training-step timing (the M2 train path, not just eval)
         t0 = time.time()
+        m = None
         for i in range(args.train_steps):
             m = solver.step(jax.random.PRNGKey(100 + i))
         jax.block_until_ready(solver.state.params)
-        train_sps = args.train_steps * batch * K_STEPS / (time.time() - t0)
+        train_sps = (args.train_steps * batch * K_STEPS / (time.time() - t0)
+                     if args.train_steps else 0.0)
         tput = timed_throughput(sample, batch, args.n_calls, args.reps)
         results[n] = {"eval": tput, "train": train_sps,
-                      "loss": float(m["train/loss"])}
+                      "loss": float(m["train/loss"]) if m is not None else None}
         print(f"[mesh {n}] eval {tput:.3e} train {train_sps:.3e} "
               f"sde_steps*samples/s (batch {batch})", file=sys.stderr)
 

@@ -30,13 +30,17 @@ def main(results_dir="results_rb", distances=False):
     from common import make_target, make_target_details
 
     rows = []
+    targets = {}  # (dim, b) -> target; the TM oracle costs seconds at dim 100
     for f in sorted(glob.glob(f"{results_dir}/*.pkl")):
         d = pickle.load(open(f, "rb"))
         cfg = d["config"]
         for r in d["results"]:
             b = r["params"]["b"]
-            target = make_target(make_target_details(
-                "phi_four", dim=r["params"]["dim"], b=b))
+            tk = (r["params"]["dim"], b)
+            if tk not in targets:
+                targets[tk] = make_target(make_target_details(
+                    "phi_four", dim=tk[0], b=b))
+            target = targets[tk]
             m = r["metrics"]
             w = np.asarray(m["eval/weight"])
             row = {

@@ -390,12 +390,13 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
         xs_sel = jnp.asarray(dataset[:n_sel])
         ts_sel = jnp.full((n_sel,), 1e-4)
 
+        from sde_sampler_lrds_tpu.utils.common import normalized_ess
+
         @jax.jit
         def select_fn(params):
             lw = pot.apply(params, ts_sel, xs_sel, method="unnorm_log_prob") \
                 - target.unnorm_log_prob(xs_sel)
-            return jnp.exp(2.0 * jax.scipy.special.logsumexp(lw)
-                           - jax.scipy.special.logsumexp(2.0 * lw)) / n_sel
+            return normalized_ess(lw)
 
     t0 = time.time()
     stage(f"training EBM reference ({ebm_epochs} epochs, {n_levels} levels, "
@@ -481,11 +482,11 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
     net_log_prob = lambda t, x: _lp_apply(_net_params, t, x)
     n_diag = min(8192, dataset.shape[0])
     xs_d = dataset[:n_diag]
+    from sde_sampler_lrds_tpu.utils.common import normalized_ess
+
     lw = net_log_prob(jnp.full((n_diag,), 1e-4), xs_d) \
         - target.unnorm_log_prob(xs_d)
-    fwd_ess = float(jnp.exp(
-        2.0 * jax.scipy.special.logsumexp(lw)
-        - jax.scipy.special.logsumexp(2.0 * lw))) / n_diag
+    fwd_ess = float(normalized_ess(lw))
     stage(f"EBM reference forward ESS on data: {fwd_ess:.4f}")
     # dataset-side weight diagnostics: the raw estimator reports the
     # dataset's (seed-noisy) balance; the RB estimator on the same samples

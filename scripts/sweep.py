@@ -35,6 +35,7 @@ import argparse
 import itertools
 import json
 import os
+import queue
 import shlex
 import shutil
 import subprocess
@@ -91,17 +92,27 @@ def run_name(i: int, overrides: dict) -> str:
 
 def launch_local(main_py, base, runs, args):
     results = []
+    # slots are LEASED from a pool, not derived from the job index: with
+    # more grid points than slots, index-derived slots would hand a chip
+    # that is still busy to the next job (two processes on one device)
+    slot_pool = queue.Queue()
+    for s in range(max(args.device_slots, 1)):
+        slot_pool.put(s)
 
     def launch(i_overrides):
         i, overrides = i_overrides
         name = run_name(i, overrides)
         out_dir = f"{args.out_root}/{name}"
         cmd = job_cmd(main_py, base, overrides, out_dir)
-        slot = i % args.device_slots if args.device_slots > 0 else 0
-        print("launching:", " ".join(cmd),
-              f"[slot {slot}]" if args.device_slots else "")
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              env=slot_env(slot, args.device_slots))
+        slot = slot_pool.get() if args.device_slots > 0 else 0
+        try:
+            print("launching:", " ".join(cmd),
+                  f"[slot {slot}]" if args.device_slots else "")
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  env=slot_env(slot, args.device_slots))
+        finally:
+            if args.device_slots > 0:
+                slot_pool.put(slot)
         return {"name": name, "out_dir": out_dir, "overrides": overrides,
                 "returncode": proc.returncode,
                 "stderr_tail": proc.stderr[-800:] if proc.returncode else ""}

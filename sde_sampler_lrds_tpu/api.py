@@ -81,8 +81,18 @@ TARGET_NAMES = ("two_modes", "bracket_two_modes", "two_modes_full", "many_modes"
 
 
 def make_target_details(target_name: str, **kwargs) -> dict:
-    """Default target hyperparameters (benchmark_utils.py:41)."""
+    """Default target hyperparameters (benchmark_utils.py:41).
+
+    Keys beyond the per-target defaults pass through verbatim (so
+    `--set target.a=0.2` reaches the constructor instead of being
+    silently dropped); unknown keys then fail loudly in make_target."""
     assert target_name in TARGET_NAMES
+    details = _make_target_defaults(target_name, **kwargs)
+    details.update({k: v for k, v in kwargs.items() if k not in details})
+    return details
+
+
+def _make_target_defaults(target_name: str, **kwargs) -> dict:
     if target_name in ("two_modes", "two_modes_full"):
         return {"name": target_name, "dim": kwargs.get("dim", 5),
                 "ill_conditioned": kwargs.get(
@@ -159,6 +169,13 @@ def make_ctrl(model_type: str, dim: int, target, prior, sde,
     if "unet" in model_type:
         from .models.mnist_unet import Unet
 
+        # fail loudly rather than silently running f32 / the wrong family
+        if compute_dtype is not None:
+            raise ValueError("compute_dtype is not supported for the UNet "
+                             "model types yet (GroupNorm/attention numerics).")
+        if base_arch not in (None, "fouriermlp"):
+            raise ValueError(f"base_arch={base_arch!r} conflicts with the "
+                             f"UNet model type {model_type!r}.")
         side = int(round(math.sqrt(dim)))
         if side * side != dim:
             raise ValueError(

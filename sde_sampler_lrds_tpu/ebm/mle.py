@@ -310,6 +310,14 @@ class MaximumLikelihoodEBM:
 
             loss, grads = jax.value_and_grad(scaled_loss)(params)
             grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            if clip_val > 0:
+                # the reference clips the ACCUMULATED grad in place after
+                # every micro-step (ebm_mle.py clip_grad_norm_ before the
+                # boundary step), so accumulation is g <- clip(g + g_i);
+                # the boundary-time optax clip is then a no-op
+                gn = optax.global_norm(grad_acc)
+                scale = jnp.where(gn > clip_val, clip_val / gn, 1.0)
+                grad_acc = jax.tree.map(lambda g: g * scale, grad_acc)
             gnorm = optax.global_norm(grad_acc)
             # optimizer step at group boundaries AND at epoch end, so the
             # ragged tail group never drifts into the next epoch

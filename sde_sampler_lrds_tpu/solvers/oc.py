@@ -18,6 +18,7 @@ current parameters so losses stay pure functions inside the jitted step.
 """
 from __future__ import annotations
 
+import logging
 import time
 from typing import Callable
 
@@ -438,10 +439,20 @@ class RDS(TrainableDiff):
                 variances=_maybe_tuple(ref["variances_init"]))
         elif ref_type == "nn":
             if "net_params" not in ref:
+                # saved from a closure-form net (no serializable params):
+                # honour the documented workaround — if the user already
+                # re-installed an 'nn' reference, keep it and only restore
+                # the train state; raise only when nothing is installed
+                if self.ref_type == "nn":
+                    logging.warning(
+                        "Checkpoint has ref_type='nn' with no serialized "
+                        "params (closure-form net); keeping the currently "
+                        "installed 'nn' reference.")
+                    return
                 raise ValueError(
                     "Checkpoint has ref_type='nn' but no serialized params: it "
                     "was saved from a closure-form net. Re-install the EBM via "
-                    "change_reference_type('nn', net=...) before/after loading, "
+                    "change_reference_type('nn', net=...) before loading, "
                     "or save with the (score_apply, log_prob_apply, params) form.")
             if self._nn_apply is None:
                 raise ValueError(

@@ -255,4 +255,5 @@ class PhiFour(Target):
         valid = jnp.all((samples >= lo) & (samples <= hi), axis=-1)
         num = jnp.where(valid, sig_neg, 0.0).sum()
         den = jnp.where(valid, 1.0 - sig_neg, 0.0).sum()
-        return num / den
+        # zero valid samples (everything diverged) -> explicit NaN sentinel
+        return jnp.where(valid.any(), num / den, jnp.nan)

@@ -114,6 +114,16 @@ def masked_var(x: jnp.ndarray, mask: jnp.ndarray, ddof: int = 1) -> jnp.ndarray:
     return sq / jnp.maximum(count - ddof, 1)
 
 
+def normalized_ess(log_w: jnp.ndarray) -> jnp.ndarray:
+    """Normalized effective sample size of (unnormalized) log importance
+    weights: exp(2·lse(w) − lse(2w)) / n ∈ (0, 1]. The single definition
+    used by forward-ESS diagnostics, checkpoint selection, and tests."""
+    from jax.scipy.special import logsumexp
+
+    n = log_w.shape[0]
+    return jnp.exp(2.0 * logsumexp(log_w) - logsumexp(2.0 * log_w)) / n
+
+
 def clip_norm(x: jnp.ndarray, max_norm: float | None) -> jnp.ndarray:
     """Elementwise clip to [-max_norm, max_norm] (reference clip_and_log, common.py:85)."""
     if max_norm is None:

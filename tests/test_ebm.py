@@ -274,8 +274,8 @@ def test_mle_ebm_select_fn_tracks_best_checkpoint():
     def select_fn(params):
         lw = pot.apply(params, jnp.full((128,), 1e-4), data[:128],
                        method="unnorm_log_prob") - target.unnorm_log_prob(data[:128])
-        ess = float(jnp.exp(2 * jax.scipy.special.logsumexp(lw)
-                            - jax.scipy.special.logsumexp(2 * lw))) / 128
+        from sde_sampler_lrds_tpu.utils.common import normalized_ess
+        ess = float(normalized_ess(lw))
         scores.append(ess)
         return ess
 
