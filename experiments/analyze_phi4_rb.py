@@ -90,5 +90,11 @@ def main(results_dir="results_rb", distances=False):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    main(*(args[:1] or ["results_rb"]), distances="--distances" in sys.argv)
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("results_dir", nargs="?", default="results_rb")
+    p.add_argument("--distances", action="store_true",
+                   help="also Sinkhorn/MMD/sliced-KS vs exact FFBS ground truth")
+    a = p.parse_args()
+    main(a.results_dir, distances=a.distances)

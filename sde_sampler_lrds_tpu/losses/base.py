@@ -29,15 +29,18 @@ def compute_results(rnd: jnp.ndarray, compute_weights: bool = False,
     elbo = E[-rnd]; IS weights = softmax(-rnd);
     log_norm_const_is = logsumexp(-rnd) - log N.
     """
+    # trace-safe: under the solvers' cached jitted eval these stay jnp
+    # scalars (the caller concretizes); float() eagerly otherwise
+    as_scalar = (lambda x: x) if isinstance(rnd, jax.core.Tracer) else float
     neg = -rnd
-    metrics = {"eval/elbo": float(neg.mean())}
+    metrics = {"eval/elbo": as_scalar(neg.mean())}
     log_norm_const_preds = {}
     weights = None
     if compute_weights:
         weights = jax.nn.softmax(neg)
-        log_norm_const_preds["log_norm_const_is"] = float(
+        log_norm_const_preds["log_norm_const_is"] = as_scalar(
             jax.scipy.special.logsumexp(neg) - math.log(neg.shape[0]))
-        metrics["eval/lv_loss"] = float(rnd.var(ddof=1))
+        metrics["eval/lv_loss"] = as_scalar(rnd.var(ddof=1))
     return Results(samples=samples, weights=weights, rnd=rnd,
                    log_norm_const_preds=log_norm_const_preds,
                    ts=ts, xs=xs, metrics=metrics)

@@ -90,12 +90,34 @@ class TrainableDiff(Trainable):
     def evaluate(self, key: jax.Array, use_ema: bool = True,
                  compute_weights: bool = True, return_traj: bool = True) -> Results:
         params = self.state.ema_params if (use_ema and self.cfg.use_ema) else self.state.params
+        return self._cached_eval(params, key, compute_weights, return_traj,
+                                 self._eval_sim)
+
+    def _eval_sim(self, params, key, compute_weights, return_traj):
         k_prior, k_sim = jax.random.split(key)
         x = self.prior.sample(k_prior, (self.cfg.eval_batch_size,))
         x = constrain_batch(x, self.mesh)
         return self.loss.eval(k_sim, self.eval_ts, x, self.ctrl_fn(params),
                               compute_weights=compute_weights,
                               return_traj=return_traj, **self.loss_call_args())
+
+    def _cached_eval(self, params, key, compute_weights, return_traj, sim):
+        """One cached jit per (flags): repeated evals dispatch instead of
+        re-tracing the full trajectory scan (minutes per call for the UNet).
+        The cache is dropped whenever the loss is rebuilt
+        (change_reference_type / _rebuild_loss)."""
+        cache = getattr(self, "_eval_jit_cache", None)
+        if cache is None:
+            cache = self._eval_jit_cache = {}
+        fn = cache.get((compute_weights, return_traj))
+        if fn is None:
+            fn = cache[(compute_weights, return_traj)] = jax.jit(
+                lambda p, k: sim(p, k, compute_weights, return_traj))
+        res = fn(params, key)
+        res.metrics = {k: float(v) for k, v in res.metrics.items()}
+        res.log_norm_const_preds = {
+            k: float(v) for k, v in res.log_norm_const_preds.items()}
+        return res
 
     def compute_eubo(self, key: jax.Array, x_target: jnp.ndarray,
                      use_ema: bool = True) -> jnp.ndarray:
@@ -157,6 +179,10 @@ class Bridge(TrainableDiff):
     def evaluate(self, key: jax.Array, use_ema: bool = True,
                  compute_weights: bool = True, return_traj: bool = True) -> Results:
         params = self.state.ema_params if (use_ema and self.cfg.use_ema) else self.state.params
+        return self._cached_eval(params, key, compute_weights, return_traj,
+                                 self._eval_sim)
+
+    def _eval_sim(self, params, key, compute_weights, return_traj):
         k_prior, k_sim = jax.random.split(key)
         x = self.prior.sample(k_prior, (self.cfg.eval_batch_size,))
         x = constrain_batch(x, self.mesh)
@@ -331,6 +357,7 @@ class RDS(TrainableDiff):
         # pass the ctrl OBJECT so losses can use its precompute protocol
         kwargs["reference_ctrl"] = self.reference_score_t
         self.loss = self.loss_cls(sde=self.sde, **kwargs)
+        self._eval_jit_cache = {}  # old jits close over the stale loss
 
     def change_reference_type(self, ref_type: str = "default", net=None, eps=None,
                               mean=None, var=None, means=None, variances=None,

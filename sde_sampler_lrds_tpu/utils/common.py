@@ -33,6 +33,20 @@ class Results:
     plots: dict = dataclasses.field(default_factory=dict)
 
 
+# Results is a pytree so a whole evaluation pass can be the output of one
+# cached jit (solvers/oc.py evaluate) — without this, loss.eval re-traces
+# and recompiles the full trajectory scan on EVERY eval call (~minutes per
+# call for the MNIST UNet).
+import jax.tree_util as _jtu  # noqa: E402
+
+_RESULTS_FIELDS = tuple(f.name for f in dataclasses.fields(Results))
+_jtu.register_pytree_node(
+    Results,
+    lambda r: (tuple(getattr(r, n) for n in _RESULTS_FIELDS), None),
+    lambda _, children: Results(**dict(zip(_RESULTS_FIELDS, children))),
+)
+
+
 def binary_search_v(
     f: Callable, low: jnp.ndarray, high: jnp.ndarray, target: jnp.ndarray, n_attempts: int = 1024
 ) -> jnp.ndarray:

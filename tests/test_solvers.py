@@ -269,3 +269,29 @@ def test_rds_nn_reference_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.reference_log_prob(x_probe)), want_lp, rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(restored.reference_score_t(0.3, x_probe)), want_score, rtol=1e-6)
+
+
+def test_evaluate_uses_cached_jit():
+    """Repeated evaluate() calls must reuse one compiled executable — the
+    eval path used to re-trace the full trajectory scan on every call
+    (minutes per eval for the MNIST UNet)."""
+    from sde_sampler_lrds_tpu.api import make_model, make_target_details
+
+    m = make_model("vp-ref", "default", "lv", "ei", "base_zero_init", "snr",
+                   solver_details={"sigma": 1.0},
+                   target_details=make_target_details("two_modes", dim=2),
+                   training_details={"train_steps": 4, "train_batch_size": 32,
+                                     "eval_batch_size": 64},
+                   n_steps=8, compute_samples_based_metrics=False)
+    m.setup()
+    r1 = m.evaluate(jax.random.PRNGKey(0))
+    r2 = m.evaluate(jax.random.PRNGKey(1))
+    assert np.isfinite(r1.metrics["eval/elbo"])
+    assert isinstance(r2.metrics["eval/elbo"], float)
+    cache = m._eval_jit_cache
+    assert len(cache) == 1
+    (fn,) = cache.values()
+    assert fn._cache_size() == 1  # one trace served both calls
+    # rebuilding the loss (reference switch) must drop the stale jit
+    m.change_reference_type("default")
+    assert m._eval_jit_cache == {}
