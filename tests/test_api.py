@@ -21,9 +21,10 @@ from sde_sampler_lrds_tpu.targets import TwoModes
 TRAIN = {"train_steps": 12, "train_batch_size": 64, "eval_batch_size": 256}
 TARGET = make_target_details("two_modes", dim=2)
 
-# One representative ("vp-ref-ei-snr", the flagship RDS path) stays in the
-# <5-min default selection; the rest are @slow (each ~15-30 s of compile
-# on the 1-CPU CI budget — SURVEY.md §4).
+# All make_model end-to-end configs are @slow (each ~15-30 s of compile on
+# the 1-CPU CI budget — SURVEY.md §4); the default tier keeps the fast
+# validation-rule and fit_gmm coverage, and test_solvers' defaults cover
+# the flagship path.
 _slow = pytest.mark.slow
 CONFIGS = [
     ("vp-ref-em-lv", dict(solver_type="vp-ref", ref_type="default", loss_type="lv",
@@ -31,7 +32,7 @@ CONFIGS = [
                           time_type="uniform"), _slow),
     ("vp-ref-ei-snr", dict(solver_type="vp-ref", ref_type="default", loss_type="lv",
                            integrator_type="ei", model_type="base_zero_init",
-                           time_type="snr"), None),
+                           time_type="snr"), _slow),
     ("vp-ref-ddpm-snr", dict(solver_type="vp-ref", ref_type="default", loss_type="kl",
                              integrator_type="ddpm_like", model_type="base_zero_init",
                              time_type="snr"), _slow),

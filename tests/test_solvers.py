@@ -271,6 +271,7 @@ def test_rds_nn_reference_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.reference_score_t(0.3, x_probe)), want_score, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_evaluate_uses_cached_jit():
     """Repeated evaluate() calls must reuse one compiled executable — the
     eval path used to re-trace the full trajectory scan on every call
