@@ -67,3 +67,43 @@ def test_sweep_slurm_script_writer(tmp_path):
     assert "#SBATCH --array=0-2%2" in script
     assert script.count("main.py") == 3
     assert "--seed 0" in script and "--seed 2" in script
+
+
+def test_device_slots_are_leased_not_index_derived(tmp_path):
+    """Regression: with more grid points than slots, slot = i % n_slots
+    could hand a still-busy chip to the next job. Slots must be leased
+    from a pool so two running jobs never share TPU_VISIBLE_DEVICES."""
+    import importlib.util
+    import os
+    import time
+
+    spec = importlib.util.spec_from_file_location("sweep_mod", SWEEP)
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+
+    stub = tmp_path / "stub_main.py"
+    log = tmp_path / "slots.log"
+    stub.write_text(
+        "import os, sys, time\n"
+        "t0 = time.time(); time.sleep(0.4); t1 = time.time()\n"
+        f"open({str(log)!r}, 'a').write(\n"
+        "    f\"{os.environ.get('TPU_VISIBLE_DEVICES')} {t0} {t1}\\n\")\n")
+
+    class A:
+        out_root = str(tmp_path / "out")
+        jobs = 3
+        device_slots = 2
+
+    runs = [{"seed": str(i)} for i in range(5)]
+    results = sweep.launch_local(str(stub), [], runs, A())
+    assert all(r["returncode"] == 0 for r in results)
+    rows = [ln.split() for ln in log.read_text().splitlines()]
+    assert len(rows) == 5
+    assert {r[0] for r in rows} <= {"0", "1"}
+    by_slot = {}
+    for slot, t0, t1 in rows:
+        by_slot.setdefault(slot, []).append((float(t0), float(t1)))
+    for slot, spans in by_slot.items():
+        spans.sort()
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 <= b0 + 1e-3, f"slot {slot} double-booked"
