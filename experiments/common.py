@@ -81,12 +81,17 @@ def run_vi(key, solver_type, target_details, solver_details, training_details,
            n_sampling_seeds: int = 16, ref_type: str = "default",
            loss_type: str = "lv", integrator_type: str = "em",
            model_type: str = "target_informed_zero_init", time_type: str = "uniform",
-           n_steps: int = 100, keep_samples: bool = False, **make_model_kwargs):
+           n_steps: int = 100, keep_samples: bool = False,
+           progress_file: str | Path | None = None, **make_model_kwargs):
     """Train a VI sampler and evaluate over n_sampling_seeds eval passes.
 
     ``keep_samples=True`` stores the first eval pass's sample array in the
     returned metrics dict (key ``"samples"``, host numpy) so estimator-side
-    analyses can be rerun post hoc without retraining."""
+    analyses can be rerun post hoc without retraining.
+
+    ``progress_file`` appends each eval pass's scalar metrics as one JSON
+    line as soon as it completes — insurance against losing a long run to
+    a timeout mid-eval (a 2.5 h MNIST run once died exactly there)."""
     model = make_model(solver_type=solver_type, ref_type=ref_type,
                        loss_type=loss_type, integrator_type=integrator_type,
                        model_type=model_type, time_type=time_type,
@@ -102,10 +107,21 @@ def run_vi(key, solver_type, target_details, solver_details, training_details,
     results = wrapper.run(k_run)
     stage(f"train+eval done in {time.time() - t0:.1f}s; "
           f"{n_sampling_seeds - 1} extra eval seeds")
+    def record(metrics):
+        if progress_file is not None:
+            import json
+
+            Path(progress_file).parent.mkdir(parents=True, exist_ok=True)
+            with open(progress_file, "a") as f:
+                f.write(json.dumps({k: v for k, v in metrics.items()
+                                    if isinstance(v, (int, float))}) + "\n")
+
+    record(results.metrics)
     all_metrics = [results.metrics]
     for s in range(n_sampling_seeds - 1):
         key, k_eval = jax.random.split(key)
         res = wrapper.evaluate(k_eval)
+        record(res.metrics)
         all_metrics.append(res.metrics)
     out = list_of_dict_2_dict_of_list(all_metrics)
     if keep_samples and getattr(results, "samples", None) is not None:
@@ -262,6 +278,14 @@ def competing_run(args, target, target_details, x_init, filename_stub,
             "gauss_params": {"mean": np.asarray(mean), "var": np.asarray(var)}}
 
 
+def _progress_file(args):
+    """Per-run incremental eval-metrics sidecar under results_path."""
+    p = Path(args.results_path) / f"partial_seed{args.seed}.jsonl"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.unlink(missing_ok=True)
+    return p
+
+
 def lrds_run(args, target, target_details, x_init, ref_type, extra_params=None,
              solver_type="vp-ref", integrator_type="ei", time_type="snr",
              model_type="base_zero_init", n_gmm_components=None,
@@ -298,6 +322,7 @@ def lrds_run(args, target, target_details, x_init, ref_type, extra_params=None,
         n_sampling_seeds=args.n_sampling_seeds, ref_type=ref_type,
         integrator_type=integrator_type, time_type=time_type,
         model_type=model_type, n_steps=args.n_steps, keep_samples=True,
+        progress_file=_progress_file(args),
         **({"optim_details": optim_details} if optim_details else {}),
         **model_kwargs)
     return {"metrics": all_metrics, "times": times, "params": extra_params or {},
@@ -508,7 +533,8 @@ def ebm_run(args, target, target_details, x_init, extra_params=None,
         n_sampling_seeds=args.n_sampling_seeds, ref_type="nn",
         integrator_type=integrator_type, time_type=time_type,
         model_type="base_zero_init", n_steps=args.n_steps,
-        keep_samples=True, **model_kwargs)
+        keep_samples=True, progress_file=_progress_file(args),
+        **model_kwargs)
     return {"metrics": all_metrics, "times": times, "params": extra_params or {},
             "forward_ess_ebm": fwd_ess, **extra_diag,
             "gauss_params": {"mean": np.asarray(mean), "var": np.asarray(var)}}

@@ -39,3 +39,26 @@ def _check_driver_help(driver):
         text=True, cwd=REPO / "experiments", timeout=300)
     assert proc.returncode == 0, proc.stderr[-1500:]
     assert "usage" in proc.stdout.lower()
+
+
+@pytest.mark.slow
+def test_run_vi_progress_file(tmp_path):
+    """Each eval pass lands in the sidecar as soon as it completes, so a
+    timeout mid-eval no longer loses the whole run."""
+    import json
+
+    import jax
+
+    sys.path.insert(0, str(REPO / "experiments"))
+    from common import make_target_details, run_vi
+
+    pf = tmp_path / "partial.jsonl"
+    run_vi(jax.random.PRNGKey(0), "vp-ref", make_target_details("two_modes", dim=2),
+           {"sigma": 1.0},
+           {"train_steps": 4, "train_batch_size": 32, "eval_batch_size": 64},
+           n_sampling_seeds=3, ref_type="default", integrator_type="ei",
+           model_type="base_zero_init", time_type="snr", n_steps=8,
+           progress_file=pf, compute_samples_based_metrics=False)
+    lines = [json.loads(l) for l in pf.read_text().splitlines()]
+    assert len(lines) == 3
+    assert all("eval/elbo" in l for l in lines)

@@ -266,3 +266,10 @@ def test_phi_four_exact_sampler_matches_oracle():
     rb = float(pf.compute_phi_four_weight_rb(s))
     assert abs(raw - truth) < 0.06 * truth   # MC error at n=20000
     assert abs(rb - truth) < 0.02 * truth    # RB variance is far smaller
+
+
+def test_phi_four_tm_weight_symmetric_at_b_zero():
+    """b = 0 makes the chain exactly Z2-symmetric: the transfer-matrix
+    weight must be 1 to numerical precision."""
+    pf = PhiFour(a=0.1, b=0.0, dim=24)
+    assert pf.compute_stats_transfer_matrix() == pytest.approx(1.0, abs=1e-9)
