@@ -5,8 +5,11 @@ pass's samples since the RB protocol landed) and prints, per seed:
 the dataset balance (raw + RB on MALA data), the VI sampler's raw
 (indicator) weight across eval seeds, and the Z2-antithetic
 Rao-Blackwellized weight (targets/phi_four.py:compute_phi_four_weight_rb)
-recomputed from the saved samples. Ground truth is the Laplace-corrected
-energy ratio (1.348 at a=0.1, b=0.02, dim=100).
+recomputed from the saved samples. Ground truth is the exact
+transfer-matrix weight, ``true_weight_tm`` in ``target.expectations``
+(1.0733 at a=0.1, b=0.02, dim=100; targets/phi_four.py:
+compute_stats_transfer_matrix). The Laplace-corrected energy ratio both
+repos previously used (1.348) is ~26% high — do not compare against it.
 
 With ``--distances`` it also computes Sinkhorn/MMD/sliced-KS of the saved
 samples against exact FFBS ground truth (the per-eval-seed passes the
@@ -23,8 +26,13 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main(results_dir="results_rb", distances=False):
+def main(results_dir="results_rb", distances=False, device="cpu"):
     import jax
+
+    from common import apply_device
+
+    apply_device(device)
+
     import jax.numpy as jnp
 
     from common import make_target, make_target_details
@@ -96,5 +104,8 @@ if __name__ == "__main__":
     p.add_argument("results_dir", nargs="?", default="results_rb")
     p.add_argument("--distances", action="store_true",
                    help="also Sinkhorn/MMD/sliced-KS vs exact FFBS ground truth")
+    p.add_argument("--device", choices=("default", "cpu"), default="cpu",
+                   help="post-hoc analysis defaults to the host backend so it "
+                        "works on tunnel-down hosts; 'default' uses the TPU")
     a = p.parse_args()
-    main(a.results_dir, distances=a.distances)
+    main(a.results_dir, distances=a.distances, device=a.device)

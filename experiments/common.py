@@ -201,7 +201,22 @@ def _to_host(obj):
     return obj
 
 
+def apply_device(device: str):
+    """Force the host backend before the first backend touch.
+
+    ``--device cpu`` escape hatch for tunnel-down hosts: the axon
+    sitecustomize pins JAX_PLATFORMS=axon and backend init then hangs when
+    the TPU tunnel is dead; only this config update reliably forces CPU
+    (same recipe as scripts/main.py). Must run before any jax computation —
+    drivers get it via announce(), which they all call right after
+    parse_args.
+    """
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
 def announce(config: dict):
+    apply_device(config.get("device", "default"))
     pprint.pprint({k: v for k, v in config.items() if not callable(v)})
 
 
@@ -229,6 +244,8 @@ def add_common_args(parser, dataset_size=40000, train_steps=4096,
     parser.add_argument("--n_sampling_seeds", type=int, default=16)
     parser.add_argument("--n_steps", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--device", choices=("default", "cpu"), default="default",
+                        help="'cpu' forces the host backend (tunnel-down escape)")
     return parser
 
 

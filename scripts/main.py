@@ -74,7 +74,8 @@ def build_parser():
                    help="dotted-key config overrides, the hydra-override "
                         "analogue (conf/base.yaml): namespaces train.* "
                         "(any TrainConfig field), solver.*, target.*, "
-                        "loss.*, sde.*, model.{base_arch,compute_dtype}. "
+                        "loss.*, sde.*, model.{base_arch,compute_dtype,"
+                        "inference_ctrl_arch}. "
                         "E.g. --set train.lr=1e-3 sde.diff_coeff_sq_max=20")
     return p
 
@@ -133,6 +134,7 @@ def main():
         solver_details = {"sigma": args.sigma, **ov["solver"]}
         solver_type = SOLVER_PRESETS[args.solver]
         training_details = {
+            "lr": args.lr,
             "train_steps": args.train_steps,
             "train_batch_size": args.train_batch_size,
             "eval_batch_size": args.eval_batch_size,
@@ -149,6 +151,9 @@ def main():
 
             compute_dtype = jnp.dtype(compute_dtype).type
         base_arch = model_ov.pop("base_arch", None)
+        # GBS: --set model.inference_ctrl_arch=base_zero_init composes the
+        # learned noising control for DIS (reference solver/oc.py:194-208)
+        inference_ctrl_arch = model_ov.pop("inference_ctrl_arch", None)
         if model_ov:
             raise ValueError(f"Unknown model.* override(s): {sorted(model_ov)}")
         # Fitted references need a dataset first (the LRDS pipeline).
@@ -178,6 +183,7 @@ def main():
             use_ema=args.use_ema, out_dir=out_dir,
             sde_details=ov["sde"], loss_details=ov["loss"],
             compute_dtype=compute_dtype, base_arch=base_arch,
+            inference_ctrl_arch=inference_ctrl_arch,
             # conf/solver/cmcd.yaml pairs CMCD with the basic model; the api
             # mirrors the reference's inverted check, so take the escape hatch
             force_base_zero_init=(args.solver == "cmcd" and args.model == "basic"))

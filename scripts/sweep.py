@@ -79,9 +79,12 @@ def slot_env(slot: int, n_slots: int) -> dict:
     if n_slots > 0:
         env["TPU_VISIBLE_DEVICES"] = str(slot)
         env["CUDA_VISIBLE_DEVICES"] = str(slot)
-        # each process needs its own coordinator port when chips are split
-        env.setdefault("TPU_MESH_CONTROLLER_ADDRESS", f"localhost:{8476 + slot}")
-        env.setdefault("TPU_MESH_CONTROLLER_PORT", str(8476 + slot))
+        # each process needs its own coordinator port when chips are split;
+        # overwrite unconditionally — an inherited value would make every
+        # concurrent slot job share one coordinator, defeating the isolation
+        # the slot leasing guarantees
+        env["TPU_MESH_CONTROLLER_ADDRESS"] = f"localhost:{8476 + slot}"
+        env["TPU_MESH_CONTROLLER_PORT"] = str(8476 + slot)
     return env
 
 

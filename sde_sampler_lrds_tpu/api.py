@@ -218,7 +218,8 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
                force_vp_cosine: bool = False, compute_samples_based_metrics: bool = True,
                force_T_cosine: float | None = None, out_dir=None, mesh=None,
                compute_dtype=None, base_arch: str | None = None,
-               sde_details: dict | None = None, loss_details: dict | None = None):
+               sde_details: dict | None = None, loss_details: dict | None = None,
+               inference_ctrl_arch: str | None = None):
     """Build a fully configured sampler (benchmark_utils.make_model:96).
 
     Composability (the hydra-override surface of conf/base.yaml):
@@ -228,7 +229,16 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
         selected solver (e.g. diff_coeff_sq_max=20.0);
       - ``loss_details`` kwargs override the loss defaults (e.g. max_rnd).
     The CLI exposes all of these as ``--set ns.key=value`` dotted overrides
-    (scripts/main.py)."""
+    (scripts/main.py).
+
+    ``inference_ctrl_arch`` (DIS/GBS only) composes a SECOND zero-init
+    control net that learns the noising-process drift — the GBS
+    configuration of the reference's Bridge (solver/oc.py:185-261, where a
+    conf/model entry is instantiated as cfg.inference_ctrl). It takes the
+    same model-type enum as ``model_type``; the loss then adds the
+    divergence term and the drift_div_int eval correction
+    (losses/oc.py:1105-1307). Pair with ``loss_details={'div_estimator':
+    'rademacher'}`` for Hutchinson instead of the exact divergence."""
     assert solver_type in SOLVER_TYPES
     assert ref_type in ("default", "gaussian", "gmm", "nn")
     assert loss_type in ("kl", "lv")
@@ -278,6 +288,14 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
         raise ValueError("Can't use ref other than gaussian for CMCD.")
     if model_type == "target_informed_langevin_init" and integrator_type in ("ei", "ddpm_like"):
         raise ValueError("Can't use EI or DDPM-like with Langevin score.")
+    if inference_ctrl_arch is not None:
+        if solver_type != "dis_orig":
+            raise ValueError("inference_ctrl_arch (GBS) is only supported for "
+                             "dis_orig — the reference composes cfg.inference_ctrl "
+                             "only in Bridge (solver/oc.py:194-208).")
+        if inference_ctrl_arch not in MODEL_TYPES:
+            raise ValueError(f"inference_ctrl_arch must be one of {MODEL_TYPES}; "
+                             f"got {inference_ctrl_arch!r}")
 
     # -- target / prior / sde ---------------------------------------------
     target = make_target(target_details)
@@ -285,7 +303,11 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
     sigma = solver_details.get("sigma", 1.0)
 
     optim_details = dict(optim_details or {})
-    lr = optim_details.get("lr", 3e-4)
+    # training_details wins over optim_details for the effective lr (it is
+    # the --set train.lr surface); resolve BEFORE building lr_schedule or a
+    # train.lr override is silently ignored whenever a scheduler is present
+    # (make_optimizer prefers cfg.lr_schedule over cfg.lr)
+    lr = training_details.get("lr", optim_details.get("lr", 3e-4))
     lr_schedule = None
     if "lr_scheduler" in optim_details:
         from .solvers.schedulers import make_lr_schedule
@@ -369,10 +391,15 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
         ts = get_timesteps(0.0, sde.terminal_t, steps=n_steps)
         if force_vp_cosine:
             ts = get_timesteps(1e-3, sde.terminal_t, steps=n_steps)
+        inf_ctrl = None
+        if inference_ctrl_arch is not None:
+            inf_ctrl = make_ctrl(inference_ctrl_arch, dim, target, prior, sde,
+                                 compute_dtype=compute_dtype, base_arch=base_arch)
         solver = Bridge(target, prior, sde, make_ctrl(model_type, dim, target, prior, sde,
                                    compute_dtype=compute_dtype, base_arch=base_arch),
                         TimeReversalLoss, loss_kwargs, train_ts=ts, cfg=cfg,
-                        out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
+                        out_dir=out_dir, inference_ctrl=inf_ctrl,
+                        **({"mesh": mesh} if mesh else {}))
     elif solver_type == "cmcd":
         prior = IsotropicGauss(dim=dim, scale=solver_details.get("prior_scale", 5.0))
         ts = get_timesteps(0.0, 1.0, steps=n_steps)

@@ -310,15 +310,17 @@ class MaximumLikelihoodEBM:
 
             loss, grads = jax.value_and_grad(scaled_loss)(params)
             grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            # logged PRE-clip, like the reference's clip_grad_norm_ return
+            # value — otherwise grad_norms saturates at clip_val and
+            # exploding gradients are invisible
+            gnorm = optax.global_norm(grad_acc)
             if clip_val > 0:
                 # the reference clips the ACCUMULATED grad in place after
                 # every micro-step (ebm_mle.py clip_grad_norm_ before the
                 # boundary step), so accumulation is g <- clip(g + g_i);
                 # the boundary-time optax clip is then a no-op
-                gn = optax.global_norm(grad_acc)
-                scale = jnp.where(gn > clip_val, clip_val / gn, 1.0)
+                scale = jnp.where(gnorm > clip_val, clip_val / gnorm, 1.0)
                 grad_acc = jax.tree.map(lambda g: g * scale, grad_acc)
-            gnorm = optax.global_norm(grad_acc)
             # optimizer step at group boundaries AND at epoch end, so the
             # ragged tail group never drifts into the next epoch
             do_apply = (((batch_in_epoch + 1) % n_acc) == 0) | \

@@ -24,16 +24,34 @@ from ..utils.common import Results, masked_mean, masked_var
 
 
 def compute_results(rnd: jnp.ndarray, compute_weights: bool = False,
-                    ts=None, samples=None, xs=None) -> Results:
+                    ts=None, samples=None, xs=None,
+                    max_rnd: float | None = None) -> Results:
     """Metrics from the density log-ratio (losses/oc.py:133-173):
     elbo = E[-rnd]; IS weights = softmax(-rnd);
     log_norm_const_is = logsumexp(-rnd) - log N.
+
+    ``eval/elbo`` is reference-faithful: its compute_results does not filter
+    diverged trajectories, so on heavy-tailed targets (φ⁴) the headline bound
+    carries NaN/huge-rnd artifacts. When ``max_rnd`` is set (the losses
+    forward their training filter), ``eval/elbo_filtered`` /
+    ``eval/log_norm_const_is_filtered`` additionally report the bound over
+    trajectories with finite rnd < max_rnd, plus ``eval/filtered_frac`` — the
+    diagnostic, not a replacement for the headline.
     """
     # trace-safe: under the solvers' cached jitted eval these stay jnp
     # scalars (the caller concretizes); float() eagerly otherwise
     as_scalar = (lambda x: x) if isinstance(rnd, jax.core.Tracer) else float
     neg = -rnd
     metrics = {"eval/elbo": as_scalar(neg.mean())}
+    if max_rnd is not None:
+        keep = jnp.isfinite(rnd) & (rnd < max_rnd)
+        n_keep = jnp.maximum(keep.sum(), 1)
+        neg_safe = jnp.where(keep, neg, 0.0)
+        metrics["eval/elbo_filtered"] = as_scalar(neg_safe.sum() / n_keep)
+        metrics["eval/filtered_frac"] = as_scalar(1.0 - keep.sum() / rnd.shape[0])
+        metrics["eval/log_norm_const_is_filtered"] = as_scalar(
+            jax.scipy.special.logsumexp(jnp.where(keep, neg, -jnp.inf))
+            - jnp.log(n_keep))
     log_norm_const_preds = {}
     weights = None
     if compute_weights:

@@ -75,7 +75,7 @@ class ControlledLangevinSDELoss(BaseOCLoss):
             key, ts, x, ctrl, terminal_unnorm_log_prob,
             initial_log_prob=initial_log_prob, train=False, return_traj=return_traj)
         return compute_results(rnd, compute_weights=compute_weights, ts=ts,
-                               samples=samples, xs=xs)
+                               max_rnd=self.max_rnd, samples=samples, xs=xs)
 
     def compute_eubo(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None):
         """Reverse pass from true target samples (losses/oc.py:757-828)."""

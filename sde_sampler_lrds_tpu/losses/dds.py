@@ -66,4 +66,4 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
             compute_ito_int=compute_weights, change_sde_ctrl=False,
             return_traj=return_traj)
         return compute_results(rnd, compute_weights=compute_weights, ts=ts,
-                               samples=samples, xs=xs)
+                               max_rnd=self.max_rnd, samples=samples, xs=xs)

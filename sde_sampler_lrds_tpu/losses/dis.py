@@ -75,7 +75,7 @@ class DiscreteTimeReversalLossEI(BaseOCLoss):
             key, ts, x, ctrl, terminal_unnorm_log_prob,
             initial_log_prob=initial_log_prob, train=False, return_traj=return_traj)
         return compute_results(rnd, compute_weights=compute_weights, ts=ts,
-                               samples=samples, xs=xs)
+                               max_rnd=self.max_rnd, samples=samples, xs=xs)
 
     def compute_eubo(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None):
         """Reverse noising pass (losses/oc.py:980-1036)."""
@@ -189,4 +189,4 @@ class TimeReversalLoss(BaseOCLoss):
             compute_ito_int=compute_weights, return_traj=return_traj,
             inference_ctrl=inference_ctrl)
         return compute_results(rnd, compute_weights=compute_weights, ts=ts,
-                               samples=samples, xs=xs)
+                               max_rnd=self.max_rnd, samples=samples, xs=xs)

@@ -97,7 +97,7 @@ class EMReferenceSDELoss(BaseOCLoss):
             key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob,
             change_sde_ctrl=False, return_traj=return_traj)
         return compute_results(rnd, compute_weights=compute_weights, ts=ts,
-                               samples=samples, xs=xs)
+                               max_rnd=self.max_rnd, samples=samples, xs=xs)
 
     def compute_eubo(self, key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob):
         """Reverse (noising) pass from true target samples: the EUBO upper

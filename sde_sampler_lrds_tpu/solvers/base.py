@@ -76,6 +76,14 @@ class TrainConfig:
     # steps); >1 amortizes host dispatch latency — essential on runtimes with
     # a high per-call round trip and harmless elsewhere
     steps_per_call: int = 1
+    # host-side hyperparameter schedule (solver/base.py:505-534 MultiStepParams
+    # via conf/utils/scheduler.yaml): dotted solver attribute -> decay spec,
+    # e.g. {"loss.sde_ctrl_noise": {"milestones": [5000], "gamma": 0.1}}.
+    # The scheduled knobs are Python-level attributes baked into the jitted
+    # step at trace time, so a milestone triggers ONE retrace; with
+    # steps_per_call > 1, a mid-chunk milestone applies at the next chunk
+    # boundary. The scheduled attribute must have a non-None starting value.
+    param_schedule: dict | None = None
 
 
 class Solver:
@@ -204,6 +212,35 @@ class Trainable(Solver):
         self.state = TrainState.create(params, self.make_optimizer())
         self.state = replicate(self.state, self.mesh)
         self._train_step = self.build_train_step()
+        self._param_schedulers = self._build_param_schedulers()
+
+    def _build_param_schedulers(self) -> list:
+        if not self.cfg.param_schedule:
+            return []
+        from .schedulers import MultiStepParams
+
+        return [MultiStepParams(self, list(spec["milestones"]),
+                                {dotted: spec.get("gamma", 0.1)})
+                for dotted, spec in self.cfg.param_schedule.items()]
+
+    def _advance_param_schedule(self, step: int) -> bool:
+        """Fast-forward every hyperparameter schedule to `step`; True if a
+        scheduled value changed (callers must rebuild the jitted step — the
+        knobs are trace-time constants)."""
+        changed = False
+        for s in getattr(self, "_param_schedulers", []):
+            before = s.get()
+            s.last_step = step
+            s.update()
+            if s.get() != before:
+                changed = True
+        return changed
+
+    def _on_scheduled_params_changed(self):
+        self._train_step = self.build_train_step()
+        cache = getattr(self, "_eval_jit_cache", None)
+        if cache is not None:
+            cache.clear()
 
     def step(self, key: jax.Array) -> dict:
         self.state, metrics = self._train_step(self.state, key)
@@ -218,11 +255,18 @@ class Trainable(Solver):
         start = time.time()
         start_step = int(self.state.step)
         spc = max(cfg.steps_per_call, 1)
+        # resume support: fast-forward schedules past already-trained steps
+        if self._advance_param_schedule(start_step):
+            self._on_scheduled_params_changed()
         for step_id in range(start_step + spc - 1, cfg.train_steps, spc):
             key, sub = jax.random.split(key)
             metrics = self.step(sub)
+            if self._advance_param_schedule(step_id + 1):
+                self._on_scheduled_params_changed()
             if (step_id + 1) % cfg.log_interval == 0:
                 metrics = {k: _to_float(v) for k, v in metrics.items()}
+                for s in getattr(self, "_param_schedulers", []):
+                    metrics.update({f"sched/{k}": v for k, v in s.get().items()})
                 metrics["train/time_per_step"] = (time.time() - start) / max(step_id + 1 - start_step, 1)
                 metrics["train/n_skipped"] = int(self.state.n_skipped)
                 self.log_metrics(metrics, step_id + 1)

@@ -190,3 +190,39 @@ def test_make_target_registry():
         assert t.dim >= 2
     pf = make_target(make_target_details("phi_four", dim=16))
     assert pf.dim == 16
+
+
+@pytest.mark.slow
+def test_make_model_gbs_inference_ctrl():
+    """inference_ctrl_arch composes the GBS configuration: a dis_orig run
+    with a learned (zero-init) inference control trains end-to-end and its
+    divergence term reaches the loss (reference solver/oc.py:194-208)."""
+    model = make_model("dis_orig", "default", "kl", "em",
+                       "target_informed_zero_init", "uniform",
+                       solver_details={"sigma": 1.0}, target_details=TARGET,
+                       training_details=TRAIN, n_steps=8,
+                       compute_samples_based_metrics=False,
+                       inference_ctrl_arch="base_zero_init",
+                       loss_details={"div_estimator": "rademacher"})
+    assert model.inference_ctrl_module is not None
+    model.setup()
+    assert "inference" in model.state.params  # second net is trained
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        m = model.step(sub)
+    assert np.isfinite(float(m["train/loss"]))
+    res = model.evaluate(jax.random.PRNGKey(1), return_traj=False)
+    assert np.isfinite(res.metrics["eval/elbo"])
+
+
+def test_make_model_inference_ctrl_validation():
+    kw = dict(solver_details={"sigma": 1.0}, target_details=TARGET,
+              training_details=TRAIN, n_steps=4)
+    with pytest.raises(ValueError):  # GBS only composes on dis_orig
+        make_model("vp-ref", "default", "kl", "em", "base_zero_init",
+                   "uniform", inference_ctrl_arch="base_zero_init", **kw)
+    with pytest.raises(ValueError):  # arch must be a model-type enum value
+        make_model("dis_orig", "default", "kl", "em",
+                   "target_informed_zero_init", "uniform",
+                   inference_ctrl_arch="mlp", **kw)

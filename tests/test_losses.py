@@ -248,3 +248,23 @@ def test_traj_per_sample_lv_traj():
     x0 = sample_rds_prior(sde, k_prior, 64, ts)
     val, _ = loss(k_sim, ts, x0, SMALL_CTRL, ref_lp, ref_lp)
     assert np.isfinite(float(val)) and float(val) >= 0
+
+
+def test_filtered_elbo_diagnostic():
+    """compute_results reports eval/elbo_filtered alongside the
+    reference-faithful unfiltered bound when max_rnd is set: diverged
+    trajectories (rnd >= max_rnd or non-finite) are excluded from the
+    filtered diagnostic only."""
+    from sde_sampler_lrds_tpu.losses.base import compute_results
+
+    rnd = jnp.array([1.0, 2.0, jnp.nan, 1e12])
+    res = compute_results(rnd, compute_weights=True, max_rnd=1e8)
+    assert not np.isfinite(res.metrics["eval/elbo"])  # reference-faithful
+    np.testing.assert_allclose(res.metrics["eval/elbo_filtered"], -1.5)
+    np.testing.assert_allclose(res.metrics["eval/filtered_frac"], 0.5)
+    lse = np.log(0.5 * (np.exp(-1.0) + np.exp(-2.0)))
+    np.testing.assert_allclose(
+        res.metrics["eval/log_norm_const_is_filtered"], lse, rtol=1e-6)
+    # no max_rnd -> no filtered keys (losses without a filter stay lean)
+    res2 = compute_results(rnd, compute_weights=True)
+    assert "eval/elbo_filtered" not in res2.metrics

@@ -100,3 +100,83 @@ def test_compiled_cost():
 
     stats = compiled_cost(lambda x: (x @ x).sum(), jnp.ones((64, 64)))
     assert stats["flops"] > 0 or np.isnan(stats["flops"])  # backend-dependent
+
+
+def test_param_schedule_decays_in_run_loop():
+    """cfg.param_schedule wires MultiStepParams into Trainable.run: the
+    dotted loss attribute decays at its milestone mid-run and the decayed
+    value reaches the simulated trajectories (solver/base.py:505-534,
+    conf/utils/scheduler.yaml)."""
+    from sde_sampler_lrds_tpu.losses import EMReferenceSDELoss
+    from sde_sampler_lrds_tpu.models import ClippedCtrl, FourierMLP
+    from sde_sampler_lrds_tpu.sde import VP, get_timesteps
+    from sde_sampler_lrds_tpu.solvers import RDS
+    from sde_sampler_lrds_tpu.solvers.base import TrainConfig
+    from sde_sampler_lrds_tpu.targets import Gauss, IsotropicGauss
+
+    cfg = TrainConfig(
+        train_steps=8, train_batch_size=16, eval_batch_size=32, lr=1e-3,
+        eval_interval=10**6, log_interval=2, steps_per_call=2,
+        param_schedule={"loss.sde_ctrl_noise": {"milestones": [4], "gamma": 0.1}})
+    target = Gauss(dim=2, loc=0.0, scale=1.0, n_reference_samples=500)
+    solver = RDS(target, IsotropicGauss(dim=2), VP(),
+                 ClippedCtrl(base_model=FourierMLP(dim=2, channels=8, zero_init=True),
+                             clip_model=1e4),
+                 EMReferenceSDELoss, {"method": "lv", "sde_ctrl_noise": 0.5},
+                 train_ts=get_timesteps(0.0, 1.0, steps=4), cfg=cfg)
+    solver.setup()
+    assert solver.loss.sde_ctrl_noise == 0.5
+    seen = []
+    orig_step = solver.step
+
+    def spying_step(key):
+        seen.append(solver.loss.sde_ctrl_noise)
+        return orig_step(key)
+
+    solver.step = spying_step
+    metrics = solver.run()
+    # chunks start at steps 0,2,4,6: noise is 0.5 before the milestone and
+    # 0.05 for the chunks after it
+    np.testing.assert_allclose(seen, [0.5, 0.5, 0.05, 0.05], rtol=1e-6)
+    np.testing.assert_allclose(solver.loss.sde_ctrl_noise, 0.05, rtol=1e-6)
+    # logged alongside train metrics
+    np.testing.assert_allclose(metrics["sched/loss.sde_ctrl_noise"], 0.05,
+                               rtol=1e-6)
+
+
+def test_param_schedule_fast_forwards_on_resume():
+    """A resumed run (state.step > 0) applies all milestones already passed
+    before training continues."""
+    from sde_sampler_lrds_tpu.losses import EMReferenceSDELoss
+    from sde_sampler_lrds_tpu.models import ClippedCtrl, FourierMLP
+    from sde_sampler_lrds_tpu.sde import VP, get_timesteps
+    from sde_sampler_lrds_tpu.solvers import RDS
+    from sde_sampler_lrds_tpu.solvers.base import TrainConfig
+    from sde_sampler_lrds_tpu.targets import Gauss, IsotropicGauss
+
+    cfg = TrainConfig(
+        train_steps=6, train_batch_size=16, eval_batch_size=32, lr=1e-3,
+        eval_interval=10**6, log_interval=10**6, steps_per_call=2,
+        param_schedule={"loss.sde_ctrl_noise": {"milestones": [2], "gamma": 0.2}})
+    target = Gauss(dim=2, loc=0.0, scale=1.0, n_reference_samples=500)
+
+    def build():
+        return RDS(target, IsotropicGauss(dim=2), VP(),
+                   ClippedCtrl(base_model=FourierMLP(dim=2, channels=8,
+                                                     zero_init=True),
+                               clip_model=1e4),
+                   EMReferenceSDELoss, {"method": "lv", "sde_ctrl_noise": 1.0},
+                   train_ts=get_timesteps(0.0, 1.0, steps=4), cfg=cfg)
+
+    first = build()
+    first.setup()
+    for _ in range(2):  # 4 optimizer steps -> past the milestone
+        first.step(jax.random.PRNGKey(0))
+    state = first.state
+
+    resumed = build()
+    resumed.setup()
+    resumed.state = state
+    assert resumed.loss.sde_ctrl_noise == 1.0  # fresh object, pre-schedule
+    resumed.run()
+    np.testing.assert_allclose(resumed.loss.sde_ctrl_noise, 0.2, rtol=1e-6)

@@ -276,3 +276,41 @@ def test_orig_dds_parity(const_noise):
                                           lambda y: gauss_log_prob_torch(y, mu0, var0),
                                           compute_ito_int=True)[1],
     )
+
+
+def torch_inf_ctrl(t, x):
+    return 0.2 * torch.sin(x) + 0.1 * torch.cos(t) * torch.ones_like(x)
+
+
+def jax_inf_ctrl(t, x):
+    t = jnp.reshape(jnp.asarray(t, jnp.float32), (-1, 1))
+    return 0.2 * jnp.sin(x) + 0.1 * jnp.cos(t) * jnp.ones_like(x)
+
+
+@pytest.mark.parametrize("train", [True, False])
+@pytest.mark.parametrize("ito", [True, False])
+def test_gbs_inference_ctrl_parity(const_noise, train, ito):
+    """GBS = original DIS with a learned inference control: the divergence
+    cost term (losses/oc.py:1194-1210) and — in eval mode — the
+    drift_div_int correction (losses/oc.py:1219) match the reference RND
+    exactly under identical noise."""
+    my_sde, torch_sde = VP(), ref_sdes.VP()
+    loss = TimeReversalLoss(sde=my_sde, method="kl", remat=False,
+                            inference_ctrl=jax_inf_ctrl)
+    ref_loss = ref_oc.TimeReversalLoss(
+        generative_ctrl=torch_ctrl, generative_ctrl_ema=torch_ctrl,
+        sde=torch_sde, method="kl", inference_ctrl=torch_inf_ctrl)
+    mu0 = np.zeros(D, dtype=np.float32)
+    var0 = np.ones(D, dtype=np.float32)
+    ts = np.linspace(0.0, 1.0, 13, dtype=np.float32)
+    x0 = x0_grid()
+    run_pair(
+        f"gbs-train{train}-ito{ito}", ts, x0,
+        lambda ts_, x_: loss.simulate(jax.random.PRNGKey(0), ts_, x_, jax_ctrl,
+                                      lambda y: gauss_log_prob_jax(y, MU, VAR),
+                                      initial_log_prob=lambda y: gauss_log_prob_jax(y, mu0, var0),
+                                      train=train, compute_ito_int=ito)[1],
+        lambda ts_, x_: ref_loss.simulate(ts_, x_, lambda y: gauss_log_prob_torch(y, MU, VAR),
+                                          initial_log_prob=lambda y: gauss_log_prob_torch(y, mu0, var0),
+                                          train=train, compute_ito_int=ito)[1],
+    )
