@@ -80,6 +80,10 @@ class TrainableWrapper:
         for i in range(start_step + spc - 1, t.cfg.train_steps, spc):
             key, sub = jax.random.split(key)
             metrics = t.step(sub)
+            # the reference schedules inside Trainable.step, so its manual
+            # wrapper loop still decays hyperparameters — mirror that here
+            if t._advance_param_schedule(i + 1):
+                t._on_scheduled_params_changed()
             if keep_training_metrics:
                 training_metrics.append({k: float(v) for k, v in metrics.items()})
         training_time = time.time() - start
@@ -115,6 +119,8 @@ class TrainableWrapperWithIntermediates(TrainableWrapper):
         for i in range(int(t.state.step) + spc - 1, t.cfg.train_steps, spc):
             key, sub = jax.random.split(key)
             metrics = t.step(sub)
+            if t._advance_param_schedule(i + 1):
+                t._on_scheduled_params_changed()
             inter_train.append({k: float(v) for k, v in metrics.items()})
             if (i + 1) % results_freq == 0:
                 all_results = []

@@ -102,6 +102,7 @@ def test_compiled_cost():
     assert stats["flops"] > 0 or np.isnan(stats["flops"])  # backend-dependent
 
 
+@pytest.mark.slow
 def test_param_schedule_decays_in_run_loop():
     """cfg.param_schedule wires MultiStepParams into Trainable.run: the
     dotted loss attribute decays at its milestone mid-run and the decayed
@@ -144,6 +145,7 @@ def test_param_schedule_decays_in_run_loop():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_param_schedule_fast_forwards_on_resume():
     """A resumed run (state.step > 0) applies all milestones already passed
     before training continues."""
@@ -180,3 +182,61 @@ def test_param_schedule_fast_forwards_on_resume():
     assert resumed.loss.sde_ctrl_noise == 1.0  # fresh object, pre-schedule
     resumed.run()
     np.testing.assert_allclose(resumed.loss.sde_ctrl_noise, 0.2, rtol=1e-6)
+
+
+def test_param_schedule_wiring_fast():
+    """Default-tier coverage of the cfg.param_schedule wiring without a
+    neural end-to-end run: a scalar Trainable whose loss closes over a
+    scheduled attribute shows the decay at its milestone, the jitted-step
+    rebuild (the knob is a trace-time constant), and resume fast-forward."""
+    from types import SimpleNamespace
+
+    from sde_sampler_lrds_tpu.solvers.base import Trainable, TrainConfig
+
+    class ScalarSolver(Trainable):
+        def __init__(self, cfg):
+            target = SimpleNamespace(dim=1, compute_stats=lambda key=None: None)
+            super().__init__(target, cfg=cfg)
+            self.loss = SimpleNamespace(knob=8.0)
+
+        def init_params(self, key):
+            return {"w": jnp.zeros(())}
+
+        def loss_fn(self, params, key):
+            # the scheduled knob is closed over at trace time, like the
+            # real losses' sde_ctrl_noise
+            return (params["w"] - self.loss.knob) ** 2, {}
+
+        def eval_metrics(self, key):
+            return {}  # run() evals at the final step; nothing to measure
+
+    cfg = TrainConfig(train_steps=6, train_batch_size=1, eval_batch_size=1,
+                      lr=0.5, optimizer="sgd", eval_interval=10**6,
+                      log_interval=2, steps_per_call=2,
+                      param_schedule={"loss.knob": {"milestones": [2, 4],
+                                                    "gamma": 0.5}})
+    s = ScalarSolver(cfg)
+    s.setup()
+    knobs, steps = [], []
+    orig = s.step
+
+    def spy(key):
+        knobs.append(s.loss.knob)
+        steps.append(orig(key))
+        return steps[-1]
+
+    s.step = spy
+    m = s.run()
+    np.testing.assert_allclose(knobs, [8.0, 4.0, 2.0])
+    np.testing.assert_allclose(m["sched/loss.knob"], 2.0)
+    # gradient chased the CURRENT knob each chunk: with lr .5 the first
+    # step lands on the target, so w tracks 8 -> 4 -> 2 decays exactly
+    np.testing.assert_allclose(float(s.state.params["w"]), 2.0, rtol=1e-6)
+
+    # resume fast-forward: fresh solver, pre-trained state past milestone 2
+    s2 = ScalarSolver(cfg)
+    s2.setup()
+    s2.state = s.state.replace(step=jnp.asarray(3))
+    assert s2.loss.knob == 8.0
+    s2.run()
+    np.testing.assert_allclose(s2.loss.knob, 2.0)

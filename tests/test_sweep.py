@@ -55,6 +55,7 @@ def test_sweep_dotted_keys_route_via_set(tmp_path):
     assert lrs == {0.001, 0.0003}
 
 
+@pytest.mark.slow
 def test_sweep_slurm_script_writer(tmp_path):
     out_root = tmp_path / "slurm"
     proc = subprocess.run(
@@ -69,6 +70,7 @@ def test_sweep_slurm_script_writer(tmp_path):
     assert "--seed 0" in script and "--seed 2" in script
 
 
+@pytest.mark.slow
 def test_device_slots_are_leased_not_index_derived(tmp_path):
     """Regression: with more grid points than slots, slot = i % n_slots
     could hand a still-busy chip to the next job. Slots must be leased
