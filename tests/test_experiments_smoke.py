@@ -62,3 +62,22 @@ def test_run_vi_progress_file(tmp_path):
     lines = [json.loads(l) for l in pf.read_text().splitlines()]
     assert len(lines) == 3
     assert all("eval/elbo" in l for l in lines)
+
+
+@pytest.mark.slow
+def test_driver_device_cpu_escape(tmp_path):
+    """--device cpu forces the host backend in a driver subprocess (the
+    tunnel-down escape hatch, applied by announce()): a tiny end-to-end
+    competing run completes and dumps its pickle without touching the
+    default (TPU) backend."""
+    proc = subprocess.run(
+        [sys.executable, "sample_two_modes_competing.py",
+         "--solver_type", "dds_orig", "--dim_range", "2",
+         "--dataset_size", "500", "--train_steps", "8",
+         "--train_batch_size", "32", "--eval_batch_size", "128",
+         "--n_sampling_seeds", "1", "--smc_n_warmup_mcmc_steps", "8",
+         "--device", "cpu", "--results_path", str(tmp_path)],
+        capture_output=True, text=True, cwd=REPO / "experiments",
+        timeout=580)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert list(tmp_path.glob("*.pkl")), "driver dumped no result pickle"
