@@ -240,3 +240,27 @@ def test_param_schedule_wiring_fast():
     assert s2.loss.knob == 8.0
     s2.run()
     np.testing.assert_allclose(s2.loss.knob, 2.0)
+
+
+def test_param_schedule_reaches_ctrl_module_attrs():
+    """conf/utils/scheduler.yaml's example schedules
+    generative_ctrl.clip_model / clip_score; our flax control wrappers are
+    mutable pre-bind and apply() re-binds from the dataclass fields, so the
+    MultiStepParams mutation reaches the traced computation after the
+    rebuild."""
+    from types import SimpleNamespace
+
+    from sde_sampler_lrds_tpu.models import ClippedCtrl, FourierMLP
+
+    ctrl = ClippedCtrl(base_model=FourierMLP(dim=2, zero_init=True),
+                       clip_model=1e4)
+    host = SimpleNamespace(generative_ctrl=ctrl)
+    sched = MultiStepParams(host, [1], {"generative_ctrl.clip_model": 1e-10})
+    p = ctrl.init(jax.random.PRNGKey(0), jnp.zeros((2,)), jnp.ones((2, 2)))
+    x = 100.0 * jnp.ones((2, 2))
+    before = float(jnp.abs(ctrl.apply(p, jnp.zeros((2,)), x)).max())
+    sched.step()
+    np.testing.assert_allclose(host.generative_ctrl.clip_model, 1e4 * 1e-10)
+    after = float(jnp.abs(ctrl.apply(p, jnp.zeros((2,)), x)).max())
+    assert before > after
+    np.testing.assert_allclose(after, 1e-6, rtol=1e-5)
