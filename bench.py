@@ -35,14 +35,28 @@ PROBE_SLEEP_S = 45
 
 def probe_backend() -> bool:
     """Check (in a subprocess, so a hang can't take us down) that jax can
-    initialize its default backend and see a device."""
+    initialize its default backend and see a device.
+
+    Only the two known outage signatures count as "tunnel down and worth
+    retrying": a hang (TimeoutExpired) or the backend-init UNAVAILABLE error
+    (BENCH_r02's failure mode). Any other failure — jax not importable,
+    libtpu broken — is a real environment problem: surface the child's
+    stderr and die loudly instead of burning the retry window and
+    masquerading as an outage."""
     code = "import jax; assert len(jax.devices()) > 0"
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=PROBE_TIMEOUT_S,
-                           capture_output=True)
-        return r.returncode == 0
+                           capture_output=True, text=True)
     except subprocess.TimeoutExpired:
         return False
+    if r.returncode == 0:
+        return True
+    err = r.stderr
+    if "UNAVAILABLE" in err or "Unable to initialize backend" in err:
+        return False
+    print(err[-3000:], file=sys.stderr)
+    raise SystemExit(f"backend probe failed for a non-outage reason "
+                     f"(rc={r.returncode}); see stderr above")
 
 
 def wait_for_backend() -> bool:

@@ -47,7 +47,9 @@ def compute_results(rnd: jnp.ndarray, compute_weights: bool = False,
         keep = jnp.isfinite(rnd) & (rnd < max_rnd)
         n_keep = jnp.maximum(keep.sum(), 1)
         neg_safe = jnp.where(keep, neg, 0.0)
-        metrics["eval/elbo_filtered"] = as_scalar(neg_safe.sum() / n_keep)
+        # all-filtered -> NaN, not a plausible-looking 0.0
+        metrics["eval/elbo_filtered"] = as_scalar(jnp.where(
+            keep.any(), neg_safe.sum() / n_keep, jnp.nan))
         metrics["eval/filtered_frac"] = as_scalar(1.0 - keep.sum() / rnd.shape[0])
         metrics["eval/log_norm_const_is_filtered"] = as_scalar(
             jax.scipy.special.logsumexp(jnp.where(keep, neg, -jnp.inf))

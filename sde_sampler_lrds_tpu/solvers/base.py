@@ -219,9 +219,28 @@ class Trainable(Solver):
             return []
         from .schedulers import MultiStepParams
 
-        return [MultiStepParams(self, list(spec["milestones"]),
+        out = []
+        for dotted, spec in self.cfg.param_schedule.items():
+            # fail loudly like the other --set paths: a typo'd key or spec
+            # field silently disabling a 20k-step run's schedule is worse
+            # than an upfront error
+            if not isinstance(spec, dict) or "milestones" not in spec:
+                raise ValueError(
+                    f"param_schedule[{dotted!r}] needs a dict with "
+                    f"'milestones' (got {spec!r})")
+            unknown = set(spec) - {"milestones", "gamma"}
+            if unknown:
+                raise ValueError(
+                    f"param_schedule[{dotted!r}]: unknown spec field(s) "
+                    f"{sorted(unknown)}; valid: milestones, gamma")
+            s = MultiStepParams(self, list(spec["milestones"]),
                                 {dotted: spec.get("gamma", 0.1)})
-                for dotted, spec in self.cfg.param_schedule.items()]
+            if dotted not in s.gammas:
+                raise ValueError(
+                    f"param_schedule key {dotted!r} does not resolve to a "
+                    f"non-None attribute on this solver")
+            out.append(s)
+        return out
 
     def _advance_param_schedule(self, step: int) -> bool:
         """Fast-forward every hyperparameter schedule to `step`; True if a

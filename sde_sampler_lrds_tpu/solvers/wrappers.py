@@ -77,6 +77,10 @@ class TrainableWrapper:
         start = time.time()
         start_step = int(t.state.step)
         spc = max(t.cfg.steps_per_call, 1)
+        # resume: apply milestones already passed before the first chunk
+        # (mirrors Trainable.run)
+        if t._advance_param_schedule(start_step):
+            t._on_scheduled_params_changed()
         for i in range(start_step + spc - 1, t.cfg.train_steps, spc):
             key, sub = jax.random.split(key)
             metrics = t.step(sub)
@@ -116,6 +120,8 @@ class TrainableWrapperWithIntermediates(TrainableWrapper):
         inter_train, inter_eval = [], []
         start = time.time()
         spc = max(t.cfg.steps_per_call, 1)
+        if t._advance_param_schedule(int(t.state.step)):
+            t._on_scheduled_params_changed()
         for i in range(int(t.state.step) + spc - 1, t.cfg.train_steps, spc):
             key, sub = jax.random.split(key)
             metrics = t.step(sub)

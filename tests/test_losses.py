@@ -268,3 +268,14 @@ def test_filtered_elbo_diagnostic():
     # no max_rnd -> no filtered keys (losses without a filter stay lean)
     res2 = compute_results(rnd, compute_weights=True)
     assert "eval/elbo_filtered" not in res2.metrics
+
+
+def test_filtered_elbo_all_filtered_is_nan():
+    """When every trajectory is filtered the diagnostic must be NaN, not a
+    plausible-looking 0.0 a sweep could select as best."""
+    from sde_sampler_lrds_tpu.losses.base import compute_results
+
+    rnd = jnp.array([jnp.nan, 1e12, jnp.inf])
+    res = compute_results(rnd, compute_weights=True, max_rnd=1e8)
+    assert np.isnan(res.metrics["eval/elbo_filtered"])
+    np.testing.assert_allclose(res.metrics["eval/filtered_frac"], 1.0)

@@ -264,3 +264,34 @@ def test_param_schedule_reaches_ctrl_module_attrs():
     after = float(jnp.abs(ctrl.apply(p, jnp.zeros((2,)), x)).max())
     assert before > after
     np.testing.assert_allclose(after, 1e-6, rtol=1e-5)
+
+
+def test_param_schedule_typo_raises():
+    """A mistyped dotted key or spec field fails at setup, like the other
+    --set override paths — never a silent no-op over a long run."""
+    from types import SimpleNamespace
+
+    from sde_sampler_lrds_tpu.solvers.base import Trainable, TrainConfig
+
+    class S(Trainable):
+        def __init__(self, cfg):
+            target = SimpleNamespace(dim=1, compute_stats=lambda key=None: None)
+            super().__init__(target, cfg=cfg)
+            self.loss = SimpleNamespace(knob=1.0)
+
+        def init_params(self, key):
+            return {"w": jnp.zeros(())}
+
+        def loss_fn(self, params, key):
+            return params["w"] ** 2, {}
+
+    def build(schedule):
+        return S(TrainConfig(train_steps=2, param_schedule=schedule))
+
+    with pytest.raises(ValueError, match="does not resolve"):
+        build({"loss.knbo": {"milestones": [1]}}).setup()
+    with pytest.raises(ValueError, match="unknown spec field"):
+        build({"loss.knob": {"milestones": [1], "gammas": 0.1}}).setup()
+    with pytest.raises(ValueError, match="milestones"):
+        build({"loss.knob": {"gamma": 0.1}}).setup()
+    build({"loss.knob": {"milestones": [1], "gamma": 0.1}}).setup()  # valid
