@@ -38,7 +38,7 @@ class EMReferenceSDELoss(BaseOCLoss):
 
     def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
                  reference_log_prob, change_sde_ctrl: bool = False,
-                 return_traj: bool = False):
+                 return_traj: bool = False, noise: jnp.ndarray | None = None):
         T = ts[-1]
         s_arr, t_arr = ts[:-1], ts[1:]
         t_ctrl = T - s_arr
@@ -53,9 +53,15 @@ class EMReferenceSDELoss(BaseOCLoss):
         tabulated = hasattr(self.reference_ctrl, "precompute")
         if tabulated:
             xs_in = (*xs_in, self.reference_ctrl.precompute(t_ctrl))
+        # provided per-step standard normals (K, B, D): common-random-number
+        # studies and bit-comparable tests of the fused Pallas path
+        if noise is not None:
+            xs_in = (*xs_in, noise)
 
         def body(carry, inp):
             x, rnd, k = carry
+            if noise is not None:
+                *inp, z_in = inp
             if tabulated:
                 tc, dt, sqdt, diff, drift_k, tab = inp
             else:
@@ -68,7 +74,8 @@ class EMReferenceSDELoss(BaseOCLoss):
                 u = u * sde_diff
                 sde_ctrl = sde_ctrl * sde_diff
             rnd = rnd + self.running_cost(u, sde_ctrl, change_sde_ctrl) * dt
-            db = sqdt * jax.random.normal(k_db, x.shape)
+            db = sqdt * (z_in if noise is not None
+                         else jax.random.normal(k_db, x.shape))
             drift = -(drift_k * x) if linear else -self.sde.drift(tc, x)
             if self.reference_ctrl is not None:
                 ref_score = self.reference_ctrl.apply(tab, x) if tabulated \
@@ -160,7 +167,7 @@ class EIReferenceSDELoss(EMReferenceSDELoss):
 
     def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
                  reference_log_prob, change_sde_ctrl: bool = False,
-                 return_traj: bool = False):
+                 return_traj: bool = False, noise: jnp.ndarray | None = None):
         grid = self._grid(ts)
         # tabulated reference: per-step noised-marginal parameters are
         # precomputed and fed through the scan (see solvers/oc.py
@@ -169,9 +176,13 @@ class EIReferenceSDELoss(EMReferenceSDELoss):
         if tabulated:
             ref_tab = self.reference_ctrl.precompute(ts[-1] - ts[:-1])
             grid = (*grid, ref_tab)
+        if noise is not None:  # provided standard normals (K, B, D)
+            grid = (*grid, noise)
 
         def body(carry, inp):
             x, rnd, k = carry
+            if noise is not None:
+                *inp, z_in = inp
             if tabulated:
                 tc, omega, sq_omega, a_x, a_s, a_z, tab = inp
                 ref_score = self.reference_ctrl.apply(tab, x)
@@ -182,7 +193,7 @@ class EIReferenceSDELoss(EMReferenceSDELoss):
             u = ctrl(tc, x)
             sde_ctrl = self._sde_ctrl(u, k_ctrl, tc, x) if change_sde_ctrl else u
             rnd = rnd + omega * self.running_cost(u, sde_ctrl, change_sde_ctrl)
-            z = jax.random.normal(k_z, x.shape)
+            z = z_in if noise is not None else jax.random.normal(k_z, x.shape)
             x_new = a_x * x + a_s * (ref_score + sde_ctrl) + a_z * z
             rnd = rnd + sq_omega * jnp.sum(u * z, axis=-1)
             return (x_new, rnd, k), (x_new if return_traj else None)

@@ -1,0 +1,362 @@
+"""Whole-trajectory fused Pallas TPU kernel for RDS evaluation sampling.
+
+The N1 hot loop (SURVEY.md §2.3; reference per-step Python loops at
+sde_sampler/losses/oc.py:252,478,618) is already one remat'd ``lax.scan`` in
+this repo, but at the reference's eval scale (batch 8192 × dim 8, K = 100)
+the scan is *overhead*-bound, not compute-bound: each step costs ~30 µs of
+XLA per-iteration kernel launches and HBM round-trips on tiny tensors while
+the actual math is <1 µs. This kernel runs the ENTIRE K-step trajectory in
+one Pallas program per batch tile — state ``x`` (B_t, D), the RND
+accumulator, and all schedule tables stay resident in VMEM, the control
+MLP's matmuls hit the MXU back-to-back, and Gaussian noise is drawn on-core
+(TPU PRNG + Box–Muller), so nothing touches HBM between steps.
+
+Scope (the flagship RDS eval path; everything else falls back to the scan):
+  * loss: EM / EI / DDPM ReferenceSDELoss in evaluation mode (Ito RND,
+    KL running cost ½‖u‖², no LV detachment — eval never detaches);
+    one generalized per-step update covers all three integrators:
+      rnd += c_cost·½‖u‖² + c_dot·(u·z)
+      x    = a_x·x + a_ref·ref_score + a_u·u + a_z·z
+    with (a_x, a_ref, a_u, a_z, c_cost, c_dot) precomputed per step
+    (EM: losses/oc.py:252-296; EI: :431-568; DDPM: :571-651).
+  * control: FourierMLP (optionally inside ClippedCtrl's elementwise clip),
+    f32 params, no angle encoding. The per-step TimeEmbed output depends
+    only on the (static) time grid, so it is precomputed OUTSIDE as a
+    (K, H) table — bit-identical to the scan path's batch-1 broadcast.
+  * reference: tabulated diagonal-Gaussian / diagonal-GMM noised-marginal
+    score (solvers/oc.py GaussianReferenceCtrl/GMMReferenceCtrl), folded to
+    per-step (log-weight constants, means, inverse variances) tables.
+
+The terminal cost log p_ref(x_T) − log ρ(x_T) stays outside (one batched
+call, identical to the scan path).
+
+Determinism note: with ``noise`` provided (testing), the kernel is
+bit-comparable to the scan path fed the same noise. In production mode the
+noise comes from the on-core PRNG, which is a *different* stream than
+jax.random — distributionally identical, sample-wise different.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# plan construction (host side, cheap)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FusedTrajCfg:
+    """Static (hashable) kernel configuration."""
+    k_steps: int
+    dim: int
+    channels: int
+    n_hidden: int
+    n_comp: int
+    clip: float | None
+    activation: Callable
+    block_b: int
+
+
+def _fourier_mlp_tables(ctrl_module, params, t_grid):
+    """Extract (cfg fields, weight arrays, time-embed table) from a
+    FourierMLP control, optionally wrapped in ClippedCtrl. Returns None if
+    the module is not the supported shape."""
+    from ..models.mlp import FourierMLP, TimeEmbed
+    from ..models.reparam import ClippedCtrl, ScoreCtrl
+
+    clip = None
+    base = ctrl_module
+    # ScoreCtrl subclasses ClippedCtrl but adds a target-score term the
+    # kernel does not implement — match ClippedCtrl exactly, not subclasses.
+    if type(base) is ClippedCtrl:
+        clip = base.clip_model
+        base = base.base_model
+    if type(base) is not FourierMLP:
+        return None
+    if base.use_angle_encoding or base.compute_dtype is not None:
+        return None
+    if base.dim_out is not None and base.dim_out != base.dim:
+        return None
+    p = params.get("params", params)
+    if "base_model" in p:
+        p = p["base_model"]
+    n_dense = base.num_layers
+    names = [f"Dense_{i}" for i in range(n_dense)]
+    if any(n not in p for n in names) or "TimeEmbed_0" not in p:
+        return None
+    embed_mod = TimeEmbed(dim_out=base.channels, channels=base.channels,
+                          activation=base.activation)
+    embed = embed_mod.apply({"params": p["TimeEmbed_0"]}, t_grid)
+    embed = jnp.asarray(embed, jnp.float32)  # (K, H)
+    w0 = p["Dense_0"]["kernel"].astype(jnp.float32)         # (D, H)
+    b0 = p["Dense_0"]["bias"].astype(jnp.float32)[None, :]  # (1, H)
+    hidden = [p[f"Dense_{i}"] for i in range(1, n_dense - 1)]
+    # n_hidden = 0: ship one zero dummy layer so array shapes match the
+    # (max(n_h, 1), ...) BlockSpecs; the kernel's static loop never reads it
+    wh = (jnp.stack([h["kernel"] for h in hidden]).astype(jnp.float32)
+          if hidden else jnp.zeros((1, base.channels, base.channels), jnp.float32))
+    bh = (jnp.stack([h["bias"][None, :] for h in hidden]).astype(jnp.float32)
+          if hidden else jnp.zeros((1, 1, base.channels), jnp.float32))
+    w_out = p[names[-1]]["kernel"].astype(jnp.float32)          # (H, D)
+    b_out = p[names[-1]]["bias"].astype(jnp.float32)[None, :]   # (1, D)
+    fields = dict(dim=base.dim, channels=base.channels,
+                  n_hidden=len(hidden), clip=clip,
+                  activation=base.activation)
+    arrays = dict(embed=embed, w0=w0, b0=b0, wh=wh, bh=bh,
+                  w_out=w_out, b_out=b_out)
+    return fields, arrays
+
+
+def _reference_tables(reference_ctrl, t_grid, dim):
+    """Fold a tabulated diagonal Gaussian/GMM reference into per-step
+    (softmax constants, means, inverse variances). Returns None if the
+    reference is not diagonal-tabulated."""
+    if not hasattr(reference_ctrl, "precompute"):
+        return None
+    tab = reference_ctrl.precompute(t_grid)
+    if len(tab) == 2:  # GaussianReferenceCtrl: (loc, var)
+        loc, var = tab
+        if isinstance(var, tuple):
+            return None
+        k = t_grid.shape[0]
+        m = jnp.broadcast_to(jnp.asarray(loc, jnp.float32).reshape(k, 1, -1),
+                             (k, 1, dim))
+        if var.ndim >= 3:
+            return None  # full covariance
+        v = jnp.broadcast_to(jnp.asarray(var, jnp.float32).reshape(k, 1, -1),
+                             (k, 1, dim))
+        w = jnp.ones((k, 1), jnp.float32)
+    elif len(tab) == 3:  # GMMReferenceCtrl: (w, m, v)
+        w, m, v = tab
+        if isinstance(v, tuple) or v.ndim > 3:
+            return None  # full covariance
+        k, c = m.shape[0], m.shape[1]
+        m = jnp.asarray(m, jnp.float32)
+        v = jnp.broadcast_to(
+            jnp.asarray(v, jnp.float32).reshape(k, c, -1), m.shape)
+        w = jnp.asarray(w, jnp.float32).reshape(k, c)
+    else:
+        return None
+    k, c, d = m.shape
+    w = w / w.sum(axis=-1, keepdims=True)
+    # logits_c(x) = const_c - ½ Σ_d (x_d - m_cd)² / v_cd  — exactly
+    # log w̃_c + log N(x; m_c, diag v_c) (targets/gauss.py log_prob_gaussian)
+    const = (jnp.log(w) - 0.5 * d * _LOG_2PI
+             - 0.5 * jnp.sum(jnp.log(v), axis=-1))            # (K, C)
+    return dict(ref_const=const.astype(jnp.float32),
+                ref_m=m.reshape(k, c * d),
+                ref_iv=(1.0 / v).reshape(k, c * d))
+
+
+def _step_coeffs(loss, ts):
+    """Per-step (a_x, a_ref, a_u, a_z, c_cost, c_dot) for the loss's
+    integrator in eval (Ito) mode — see module docstring."""
+    from ..losses.rds import (DDPMLikeReferenceSDELoss, EIReferenceSDELoss,
+                              EMReferenceSDELoss)
+
+    s_arr, t_arr = ts[:-1], ts[1:]
+    t_ctrl = ts[-1] - s_arr
+    if isinstance(loss, EIReferenceSDELoss):  # covers DDPM subclass
+        omega = loss._omega(s_arr, t_arr)
+        a_x, a_s, a_z = loss._step_coeffs(s_arr, t_arr)
+        coefs = (a_x, a_s, a_s, a_z, omega, jnp.sqrt(omega))
+    elif type(loss) is EMReferenceSDELoss:
+        if not hasattr(loss.sde, "drift_coeff_t"):
+            return None, None
+        dt = t_arr - s_arr
+        sqdt = jnp.sqrt(dt)
+        diff = loss.sde.diff_coeff_t(t_ctrl)
+        drift_k = loss.sde.drift_coeff_t(t_ctrl)
+        if loss.use_rescaling:
+            # u is the raw control: x += (−f + g²·ref + g·u)dt + g·dB,
+            # rnd += ½‖u‖²dt + u·dB  (losses/oc.py:252-296)
+            coefs = (1.0 - drift_k * dt, diff**2 * dt, diff * dt,
+                     diff * sqdt, dt, sqdt)
+        else:
+            # effective control g·u: fold the g factors into the
+            # coefficients so the kernel still consumes the raw MLP output
+            coefs = (1.0 - drift_k * dt, diff**2 * dt, diff**2 * dt,
+                     diff * sqdt, diff**2 * dt, diff * sqdt)
+    else:
+        return None, None
+    coefs = jnp.stack([jnp.broadcast_to(c, s_arr.shape).astype(jnp.float32)
+                       for c in coefs], axis=-1)              # (K, 6)
+    return coefs, t_ctrl
+
+
+def build_plan(loss, ctrl_module, params, ts, block_b: int = 2048):
+    """Build (cfg, arrays) for ``fused_simulate`` or return None when the
+    (loss, control, reference) triple is outside the kernel's scope."""
+    coefs, t_ctrl = _step_coeffs(loss, ts)
+    if coefs is None:
+        return None
+    mlp = _fourier_mlp_tables(ctrl_module, params, t_ctrl)
+    if mlp is None:
+        return None
+    fields, arrays = mlp
+    ref = _reference_tables(loss.reference_ctrl, t_ctrl, fields["dim"])
+    if ref is None:
+        return None
+    cfg = FusedTrajCfg(k_steps=int(ts.shape[0] - 1), block_b=block_b,
+                       n_comp=ref["ref_const"].shape[1], **fields)
+    arrays = dict(coefs=coefs, **arrays, **ref)
+    return cfg, arrays
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _traj_kernel(cfg: FusedTrajCfg, use_noise_input: bool, *refs):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if use_noise_input:
+        (x0_ref, coef_ref, embed_ref, w0_ref, b0_ref, wh_ref, bh_ref,
+         wout_ref, bout_ref, const_ref, m_ref, iv_ref, noise_ref,
+         x_out_ref, rnd_out_ref) = refs
+    else:
+        (x0_ref, coef_ref, embed_ref, w0_ref, b0_ref, wh_ref, bh_ref,
+         wout_ref, bout_ref, const_ref, m_ref, iv_ref, seed_ref,
+         x_out_ref, rnd_out_ref) = refs
+        # decorrelate batch tiles; each tile draws its own stream
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    d, c, act = cfg.dim, cfg.n_comp, cfg.activation
+    b_t = cfg.block_b
+
+    def body(k, carry):
+        x, rnd = carry
+        # ---- control u = clip(FourierMLP(t_k, x)) ------------------------
+        e = embed_ref[pl.ds(k, 1), :]                              # (1, H)
+        h = jnp.dot(x, w0_ref[:],
+                    preferred_element_type=jnp.float32) + b0_ref[:] + e
+        for i in range(cfg.n_hidden):
+            h = jnp.dot(act(h), wh_ref[i],
+                        preferred_element_type=jnp.float32) + bh_ref[i]
+        u = jnp.dot(act(h), wout_ref[:],
+                    preferred_element_type=jnp.float32) + bout_ref[:]
+        if cfg.clip is not None:
+            u = jnp.clip(u, -cfg.clip, cfg.clip)
+        # ---- reference score of the noised diagonal MoG ------------------
+        row_c = const_ref[pl.ds(k, 1), :]                         # (1, C)
+        row_m = m_ref[pl.ds(k, 1), :]                             # (1, C·D)
+        row_iv = iv_ref[pl.ds(k, 1), :]
+        logits, grads = [], []
+        for j in range(c):
+            diff = x - row_m[:, j * d:(j + 1) * d]                # (B, D)
+            g = diff * row_iv[:, j * d:(j + 1) * d]
+            logits.append(row_c[:, j:j + 1]
+                          - 0.5 * jnp.sum(diff * g, axis=-1, keepdims=True))
+            grads.append(g)
+        if c == 1:
+            ref_score = -grads[0]
+        else:
+            resp = jax.nn.softmax(jnp.concatenate(logits, axis=-1), axis=-1)
+            ref_score = -sum(resp[:, j:j + 1] * grads[j] for j in range(c))
+        # ---- noise --------------------------------------------------------
+        if use_noise_input:
+            z = noise_ref[pl.ds(k, 1), :, :].reshape(b_t, d)
+        else:
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((b_t, 2 * d)), jnp.uint32)
+            f = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+            u1 = 1.0 - f[:, :d]                                   # (0, 1]
+            u2 = f[:, d:]
+            z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+                (2.0 * math.pi) * u2)
+        # ---- RND + state update (generalized integrator step) -------------
+        a_x, a_ref, a_u = coef_ref[k, 0], coef_ref[k, 1], coef_ref[k, 2]
+        a_z, c_cost, c_dot = coef_ref[k, 3], coef_ref[k, 4], coef_ref[k, 5]
+        rnd = rnd + c_cost * 0.5 * jnp.sum(u * u, axis=-1, keepdims=True) \
+                  + c_dot * jnp.sum(u * z, axis=-1, keepdims=True)
+        x = a_x * x + a_ref * ref_score + a_u * u + a_z * z
+        return x, rnd
+
+    x0 = x0_ref[:]
+    rnd0 = jnp.zeros((b_t, 1), jnp.float32)
+    x_t, rnd = jax.lax.fori_loop(0, cfg.k_steps, body, (x0, rnd0))
+    x_out_ref[:] = x_t
+    rnd_out_ref[:] = rnd
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
+                use_noise_input: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d = x0.shape
+    k, h, c = cfg.k_steps, cfg.channels, cfg.n_comp
+    n_h, b_t = cfg.n_hidden, cfg.block_b
+    grid = (b // b_t,)
+    bcast = lambda *blk: pl.BlockSpec(blk, lambda i: (0,) * len(blk),
+                                      memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((b_t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        bcast(k, h),                           # time-embed table
+        bcast(d, h), bcast(1, h),              # W0, b0
+        bcast(max(n_h, 1), h, h), bcast(max(n_h, 1), 1, h),   # hidden
+        bcast(h, d), bcast(1, d),              # W_out, b_out
+        bcast(k, c), bcast(k, c * d), bcast(k, c * d),        # reference
+    ]
+    if use_noise_input:
+        in_specs.append(pl.BlockSpec((k, b_t, d), lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    x_t, rnd = pl.pallas_call(
+        functools.partial(_traj_kernel, cfg, use_noise_input),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((b_t, d), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((b_t, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((b, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(x0, arrays["coefs"], arrays["embed"], arrays["w0"], arrays["b0"],
+      arrays["wh"], arrays["bh"], arrays["w_out"], arrays["b_out"],
+      arrays["ref_const"], arrays["ref_m"], arrays["ref_iv"], seed_or_noise)
+    return x_t, rnd[:, 0]
+
+
+def fused_simulate(cfg: FusedTrajCfg, arrays: dict, key, x0,
+                   terminal_unnorm_log_prob, reference_log_prob,
+                   noise: jnp.ndarray | None = None):
+    """Run the fused trajectory and add the terminal cost — the fused
+    equivalent of EM/EI/DDPM ``simulate(..., change_sde_ctrl=False)``
+    (losses/rds.py). ``noise`` (K, B, D), when given, replaces the on-core
+    PRNG for bit-comparable testing against the scan path."""
+    b = x0.shape[0]
+    cfg = adapt_block(cfg, b)
+    x0 = jnp.asarray(x0, jnp.float32)
+    if noise is not None:
+        x_t, rnd = _fused_traj(cfg, arrays, x0,
+                               jnp.asarray(noise, jnp.float32), True)
+    else:
+        seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        x_t, rnd = _fused_traj(cfg, arrays, x0, seed, False)
+    rnd = rnd + reference_log_prob(x_t) - terminal_unnorm_log_prob(x_t)
+    return x_t, rnd
+
+
+def adapt_block(cfg: FusedTrajCfg, batch: int) -> FusedTrajCfg:
+    """Shrink block_b to a divisor of the batch (sublane-aligned)."""
+    b_t = min(cfg.block_b, batch)
+    while batch % b_t:
+        b_t //= 2
+    if b_t != cfg.block_b:
+        cfg = dataclasses.replace(cfg, block_b=b_t)
+    return cfg

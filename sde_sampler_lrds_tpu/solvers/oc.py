@@ -119,6 +119,36 @@ class TrainableDiff(Trainable):
             k: float(v) for k, v in res.log_norm_const_preds.items()}
         return res
 
+    def fused_eval_sampler(self, use_ema: bool = True, block_b: int = 2048):
+        """Whole-trajectory fused Pallas eval sampler (ops/fused_traj): a
+        jitted ``key -> (x_T, rnd)`` drawing ``eval_batch_size`` trajectories
+        with the entire K-step loop fused into one TPU kernel per batch tile.
+        Returns None when the (loss, control, reference) triple is outside
+        the kernel's scope — callers fall back to the scan path. Plans are
+        built per call (cheap) so they always see the current params."""
+        from ..ops.fused_traj import build_plan, fused_simulate
+
+        params = self.state.ema_params if (use_ema and self.cfg.use_ema) \
+            else self.state.params
+        args = self.loss_call_args(use_ema=use_ema)
+        if set(args) != {"terminal_unnorm_log_prob", "reference_log_prob"}:
+            return None
+        plan = build_plan(self.loss, self.generative_ctrl, params,
+                          self.eval_ts, block_b=block_b)
+        if plan is None:
+            return None
+        cfg, arrays = plan
+
+        @jax.jit
+        def sample(key):
+            k_p, k_s = jax.random.split(key)
+            x0 = self.prior.sample(k_p, (self.cfg.eval_batch_size,))
+            return fused_simulate(cfg, arrays, k_s, x0,
+                                  args["terminal_unnorm_log_prob"],
+                                  args["reference_log_prob"])
+
+        return sample
+
     def compute_eubo(self, key: jax.Array, x_target: jnp.ndarray,
                      use_ema: bool = True) -> jnp.ndarray:
         params = self.state.ema_params if (use_ema and self.cfg.use_ema) else self.state.params

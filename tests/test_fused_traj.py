@@ -1,0 +1,171 @@
+"""Fused whole-trajectory Pallas kernel vs the reference lax.scan path.
+
+Bit-comparable protocol: both paths consume the SAME provided per-step
+standard normals (losses/rds.py simulate(noise=...)), so any disagreement is
+kernel math, not RNG. Runs in Pallas interpret mode on CPU; the identical
+code path compiles on TPU (bench.py --fused).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sde_sampler_lrds_tpu.losses import (DDPMLikeReferenceSDELoss,
+                                         EIReferenceSDELoss,
+                                         EMReferenceSDELoss)
+from sde_sampler_lrds_tpu.models import ClippedCtrl, FourierMLP
+from sde_sampler_lrds_tpu.ops.fused_traj import build_plan, fused_simulate
+from sde_sampler_lrds_tpu.sde import VP, get_timesteps
+from sde_sampler_lrds_tpu.solvers.oc import (GaussianReferenceCtrl,
+                                             GMMReferenceCtrl)
+
+DIM, K, BATCH = 8, 12, 64
+
+
+def _setup(loss_cls, ref_kind="gmm", clip=1e4, num_layers=4, **loss_kw):
+    key = jax.random.PRNGKey(0)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    base = FourierMLP(dim=DIM, num_layers=num_layers)
+    ctrl = ClippedCtrl(base_model=base, clip_model=clip) if clip else base
+    params = ctrl.init(key, jnp.zeros(()), jnp.zeros((1, DIM)))
+    # non-degenerate control output: zero_init=False default gives random
+    # last-layer weights already; amplify to exercise the clip path
+    if ref_kind == "gauss":
+        ref = GaussianReferenceCtrl(sde, x_init=jnp.zeros((DIM,)),
+                                    var_init=1.3 * jnp.ones((DIM,)))
+    else:
+        k_m, k_v, k_w = jax.random.split(jax.random.PRNGKey(1), 3)
+        means = jax.random.normal(k_m, (3, DIM))
+        variances = 0.5 + jax.random.uniform(k_v, (3, DIM))
+        weights = jax.random.uniform(k_w, (3,)) + 0.5
+        ref = GMMReferenceCtrl(sde, means, variances, weights)
+    loss = loss_cls(sde=sde, method="kl", reference_ctrl=ref, **loss_kw)
+    ts = get_timesteps(0.0, 1.0, steps=K)
+    ctrl_fn = lambda t, x: ctrl.apply(params, t, x)
+    return loss, ctrl, params, ctrl_fn, ts
+
+
+def _run_both(loss, ctrl, params, ctrl_fn, ts, seed=2):
+    plan = build_plan(loss, ctrl, params, ts, block_b=BATCH // 2)
+    assert plan is not None
+    cfg, arrays = plan
+    k_x, k_z = jax.random.split(jax.random.PRNGKey(seed))
+    x0 = jax.random.normal(k_x, (BATCH, DIM))
+    noise = jax.random.normal(k_z, (K, BATCH, DIM))
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    ref_lp = lambda x: -0.6 * jnp.sum((x - 0.1) ** 2, axis=-1)
+    x_fused, rnd_fused = fused_simulate(cfg, arrays, None, x0, term, ref_lp,
+                                        noise=noise)
+    x_scan, rnd_scan, _ = loss.simulate(
+        jax.random.PRNGKey(7), ts, x0, ctrl_fn, term, ref_lp,
+        change_sde_ctrl=False, noise=noise)
+    return (x_fused, rnd_fused), (x_scan, rnd_scan)
+
+
+@pytest.mark.parametrize("loss_cls", [EIReferenceSDELoss,
+                                      DDPMLikeReferenceSDELoss])
+def test_fused_matches_scan_ei_ddpm(loss_cls):
+    (x_f, r_f), (x_s, r_s) = _run_both(*_setup(loss_cls))
+    np.testing.assert_allclose(x_f, x_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(r_f, r_s, rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("use_rescaling", [True, False])
+def test_fused_matches_scan_em(use_rescaling):
+    (x_f, r_f), (x_s, r_s) = _run_both(
+        *_setup(EMReferenceSDELoss, use_rescaling=use_rescaling))
+    np.testing.assert_allclose(x_f, x_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(r_f, r_s, rtol=2e-5, atol=2e-4)
+
+
+def test_fused_gaussian_reference_and_no_clip():
+    (x_f, r_f), (x_s, r_s) = _run_both(
+        *_setup(EIReferenceSDELoss, ref_kind="gauss", clip=None))
+    np.testing.assert_allclose(x_f, x_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(r_f, r_s, rtol=2e-5, atol=2e-4)
+
+
+def test_fused_two_layer_mlp():
+    """num_layers=2 exercises the zero-hidden-layer dummy-weights path."""
+    (x_f, r_f), (x_s, r_s) = _run_both(
+        *_setup(EIReferenceSDELoss, num_layers=2))
+    np.testing.assert_allclose(x_f, x_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(r_f, r_s, rtol=2e-5, atol=2e-4)
+
+
+def test_build_plan_rejects_unsupported():
+    from sde_sampler_lrds_tpu.models import DenseNet
+
+    loss, ctrl, params, ctrl_fn, ts = _setup(EIReferenceSDELoss)
+    # unsupported control net
+    dn = DenseNet(dim=DIM)
+    dn_params = dn.init(jax.random.PRNGKey(0), jnp.zeros(()),
+                        jnp.zeros((1, DIM)))
+    assert build_plan(loss, dn, dn_params, ts) is None
+    # full-covariance reference
+    covs = jnp.eye(DIM)[None].repeat(3, 0)
+    loss.reference_ctrl = GMMReferenceCtrl(
+        loss.sde, jnp.zeros((3, DIM)), covs, jnp.ones((3,)))
+    assert build_plan(loss, ctrl, params, ts) is None
+    # non-tabulated callable reference
+    loss.reference_ctrl = lambda t, x: -x
+    assert build_plan(loss, ctrl, params, ts) is None
+
+
+def test_fused_prng_mode_distribution():
+    """On-core PRNG mode: distributional agreement with the scan path.
+
+    Pallas interpret mode may not implement the TPU PRNG primitives — skip
+    (not fail) there; on TPU this runs for real.
+    """
+    loss, ctrl, params, ctrl_fn, ts = _setup(EIReferenceSDELoss)
+    cfg, arrays = build_plan(loss, ctrl, params, ts, block_b=512)
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    ref_lp = lambda x: -0.6 * jnp.sum((x - 0.1) ** 2, axis=-1)
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (4096, DIM))
+    try:
+        x_f, r_f = fused_simulate(cfg, arrays, jax.random.PRNGKey(4), x0,
+                                  term, ref_lp)
+        x_f = jax.block_until_ready(x_f)
+    except Exception as e:  # pragma: no cover - backend capability gate
+        pytest.skip(f"on-core PRNG unsupported on this backend: {e}")
+    x_s, r_s, _ = loss.simulate(jax.random.PRNGKey(5), ts, x0, ctrl_fn,
+                                term, ref_lp)
+    assert jnp.all(jnp.isfinite(x_f)) and jnp.all(jnp.isfinite(r_f))
+    np.testing.assert_allclose(np.mean(x_f, 0), np.mean(x_s, 0), atol=0.15)
+    np.testing.assert_allclose(np.std(x_f, 0), np.std(x_s, 0), rtol=0.1)
+    np.testing.assert_allclose(np.mean(r_f), np.mean(r_s), rtol=0.1,
+                               atol=0.05)
+
+
+def test_fused_eval_sampler_wiring():
+    """RDS solver exposes the fused sampler exactly when in scope."""
+    from sde_sampler_lrds_tpu.solvers import RDS
+    from sde_sampler_lrds_tpu.solvers.base import TrainConfig
+    from sde_sampler_lrds_tpu.targets import IsotropicGauss, ManyModes
+
+    target = ManyModes(n_modes=4, dim=DIM, var=0.5)
+    prior = IsotropicGauss(dim=DIM, loc=0.0, scale=1.0)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ctrl = ClippedCtrl(base_model=FourierMLP(dim=DIM, zero_init=True),
+                       clip_model=1e4)
+    ts = get_timesteps(0.0, 1.0, steps=K)
+    cfg = TrainConfig(train_steps=2, train_batch_size=16, eval_batch_size=32,
+                      lr=1e-3)
+    solver = RDS(target, prior, sde, ctrl, EIReferenceSDELoss,
+                 {"method": "lv", "max_rnd": 1e8}, train_ts=ts, cfg=cfg)
+    means = jnp.stack([m for m in target.loc])
+    solver.change_reference_type("gmm", means=means,
+                                 variances=jnp.ones_like(means),
+                                 weights=jnp.ones((means.shape[0],)) / 4)
+    solver.setup()
+    sampler = solver.fused_eval_sampler()
+    assert sampler is not None
+    # default ('vp stationary') reference is a tabulated Gaussian — in scope
+    solver.change_reference_type("default")
+    assert solver.fused_eval_sampler() is not None
+    # full-covariance GMM reference — out of scope, scan fallback
+    covs = jnp.eye(DIM)[None].repeat(4, 0)
+    solver.change_reference_type("gmm", means=means, variances=covs,
+                                 weights=jnp.ones((4,)) / 4)
+    assert solver.fused_eval_sampler() is None
