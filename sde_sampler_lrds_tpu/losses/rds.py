@@ -98,6 +98,62 @@ class EMReferenceSDELoss(BaseOCLoss):
             change_sde_ctrl=self.is_lv, return_traj=False)
         return self.reduce(rnd, samples=samples)
 
+    # -- flat LV training path ---------------------------------------------
+    def _flat_grids(self, ts):
+        """(c_cost, c_dot, u_scale) per step for ``lv_flat_call``: the RND is
+        Σ_k c_cost·cost(u_scale·u_k) + c_dot·(u_scale·u_k)·z_k."""
+        if not hasattr(self.sde, "drift_coeff_t"):
+            return None
+        t_ctrl = ts[-1] - ts[:-1]
+        dt = ts[1:] - ts[:-1]
+        scale = (jnp.ones_like(dt) if self.use_rescaling
+                 else jnp.broadcast_to(self.sde.diff_coeff_t(t_ctrl), dt.shape))
+        return dt, jnp.sqrt(dt), scale
+
+    def lv_flat_call(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                     reference_log_prob, traj_fn=None):
+        """LV training as gradient-free simulation + flat batched cost.
+
+        The log-variance loss detaches the simulation control
+        (losses/oc.py:83 ``sde_ctrl = u.detach()``), so the trajectory
+        x_0..x_T carries NO parameter gradient — only the per-step cost
+        c_cost·u·(ū−½u) + c_dot·u·z does, evaluated at frozen (x_k, z_k).
+        This method therefore simulates under stop_gradient (optionally in
+        the fused Pallas kernel via ``traj_fn(x0, zs) -> (xs, x_T)``,
+        ops/fused_traj.fused_traj_states) and differentiates ONE batched
+        control evaluation over all K·B states: same value and gradient as
+        ``__call__`` under common noise (tests/test_fused_traj.py), but no
+        backprop-through-scan — the backward pass is a single flat MLP VJP.
+        """
+        if not self.is_lv or self.sde_ctrl_noise is not None \
+                or self.sde_ctrl_dropout is not None:
+            raise ValueError("lv_flat_call requires a plain LV loss "
+                             "(no sde_ctrl noise/dropout hooks)")
+        grids = self._flat_grids(ts)
+        if grids is None:
+            raise ValueError("the flat LV path needs a linear SDE")
+        c_cost, c_dot, u_scale = grids
+        x = self.repeat_traj(x)
+        k_z, k_sim = jax.random.split(key)
+        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        if traj_fn is not None:
+            xs, x_t = traj_fn(x, zs)
+        else:
+            x_t, _, xs_all = self.simulate(
+                k_sim, ts, x, ctrl, terminal_unnorm_log_prob,
+                reference_log_prob, change_sde_ctrl=True, return_traj=True,
+                noise=zs)
+            xs = xs_all[:-1]
+        xs = jax.lax.stop_gradient(xs)
+        x_t = jax.lax.stop_gradient(x_t)
+        u = jax.vmap(ctrl)(ts[-1] - ts[:-1], xs) * u_scale[:, None, None]
+        u_bar = jax.lax.stop_gradient(u)
+        cost = jnp.sum(u * (u_bar - 0.5 * u), axis=-1)            # (K, B)
+        ito = jnp.sum(u * zs, axis=-1)                            # (K, B)
+        rnd = jnp.sum(c_cost[:, None] * cost + c_dot[:, None] * ito, axis=0)
+        rnd = rnd + reference_log_prob(x_t) - terminal_unnorm_log_prob(x_t)
+        return self.reduce(rnd, samples=x_t)
+
     def eval(self, key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob,
              compute_weights: bool = True, return_traj: bool = True):
         samples, rnd, xs = self.simulate(
@@ -156,6 +212,10 @@ class EIReferenceSDELoss(EMReferenceSDELoss):
 
     def _step_coeffs(self, s, t):
         return self.sde.ei_step_coeffs(s, t)
+
+    def _flat_grids(self, ts):
+        omega = self._omega(ts[:-1], ts[1:])
+        return omega, jnp.sqrt(omega), jnp.ones_like(omega)
 
     def _grid(self, ts):
         """Per-step arrays: ctrl time, ω, √ω, affine kernel coefficients."""

@@ -215,10 +215,14 @@ def build_plan(loss, ctrl_module, params, ts, block_b: int = 2048):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _traj_kernel(cfg: FusedTrajCfg, use_noise_input: bool, *refs):
+def _traj_kernel(cfg: FusedTrajCfg, use_noise_input: bool, return_traj: bool,
+                 *refs):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    xs_out_ref = None
+    if return_traj:
+        *refs, xs_out_ref = refs
     if use_noise_input:
         (x0_ref, coef_ref, embed_ref, w0_ref, b0_ref, wh_ref, bh_ref,
          wout_ref, bout_ref, const_ref, m_ref, iv_ref, noise_ref,
@@ -235,6 +239,8 @@ def _traj_kernel(cfg: FusedTrajCfg, use_noise_input: bool, *refs):
 
     def body(k, carry):
         x, rnd = carry
+        if return_traj:  # pre-step state x_k (the flat LV path's input)
+            xs_out_ref[pl.ds(k, 1), :, :] = x.reshape(1, b_t, d)
         # ---- control u = clip(FourierMLP(t_k, x)) ------------------------
         e = embed_ref[pl.ds(k, 1), :]                              # (1, H)
         h = jnp.dot(x, w0_ref[:],
@@ -288,9 +294,9 @@ def _traj_kernel(cfg: FusedTrajCfg, use_noise_input: bool, *refs):
     rnd_out_ref[:] = rnd
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
-                use_noise_input: bool):
+                use_noise_input: bool, return_traj: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -314,21 +320,29 @@ def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
                                      memory_space=pltpu.VMEM))
     else:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    x_t, rnd = pl.pallas_call(
-        functools.partial(_traj_kernel, cfg, use_noise_input),
+    out_specs = [pl.BlockSpec((b_t, d), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((b_t, 1), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, d), jnp.float32),
+                 jax.ShapeDtypeStruct((b, 1), jnp.float32)]
+    if return_traj:
+        out_specs.append(pl.BlockSpec((k, b_t, d), lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((k, b, d), jnp.float32))
+    out = pl.pallas_call(
+        functools.partial(_traj_kernel, cfg, use_noise_input, return_traj),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((b_t, d), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((b_t, 1), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((b, d), jnp.float32),
-                   jax.ShapeDtypeStruct((b, 1), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
     )(x0, arrays["coefs"], arrays["embed"], arrays["w0"], arrays["b0"],
       arrays["wh"], arrays["bh"], arrays["w_out"], arrays["b_out"],
       arrays["ref_const"], arrays["ref_m"], arrays["ref_iv"], seed_or_noise)
-    return x_t, rnd[:, 0]
+    x_t, rnd = out[0], out[1]
+    xs = out[2] if return_traj else None
+    return x_t, rnd[:, 0], xs
 
 
 def fused_simulate(cfg: FusedTrajCfg, arrays: dict, key, x0,
@@ -342,14 +356,30 @@ def fused_simulate(cfg: FusedTrajCfg, arrays: dict, key, x0,
     cfg = adapt_block(cfg, b)
     x0 = jnp.asarray(x0, jnp.float32)
     if noise is not None:
-        x_t, rnd = _fused_traj(cfg, arrays, x0,
-                               jnp.asarray(noise, jnp.float32), True)
+        x_t, rnd, _ = _fused_traj(cfg, arrays, x0,
+                                  jnp.asarray(noise, jnp.float32), True)
     else:
         seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
-        x_t, rnd = _fused_traj(cfg, arrays, x0, seed, False)
+        x_t, rnd, _ = _fused_traj(cfg, arrays, x0, seed, False)
     rnd = rnd + reference_log_prob(x_t) - terminal_unnorm_log_prob(x_t)
     return x_t, rnd
+
+
+def fused_traj_states(cfg: FusedTrajCfg, arrays: dict, x0,
+                      noise: jnp.ndarray):
+    """Gradient-free trajectory states for the flat LV training path
+    (losses/rds.py lv_flat_call): pre-step states xs (K, B, D) and the
+    terminal x_T, simulated under provided noise with everything
+    stop-gradiented (Pallas kernels have no VJP and the LV loss needs
+    none — its simulation control is detached by definition)."""
+    b = x0.shape[0]
+    cfg = adapt_block(cfg, b)
+    arrays = jax.lax.stop_gradient(arrays)
+    x0 = jax.lax.stop_gradient(jnp.asarray(x0, jnp.float32))
+    noise = jax.lax.stop_gradient(jnp.asarray(noise, jnp.float32))
+    x_t, _, xs = _fused_traj(cfg, arrays, x0, noise, True, True)
+    return xs, x_t
 
 
 def adapt_block(cfg: FusedTrajCfg, batch: int) -> FusedTrajCfg:

@@ -84,6 +84,11 @@ class TrainConfig:
     # steps_per_call > 1, a mid-chunk milestone applies at the next chunk
     # boundary. The scheduled attribute must have a non-None starting value.
     param_schedule: dict | None = None
+    # flat LV training (losses/rds.py lv_flat_call): 'auto' uses it whenever
+    # the loss is a plain LV RDS loss on a linear SDE (gradient-identical to
+    # the scan path; no backprop-through-scan, fused Pallas simulation on a
+    # single-device TPU mesh); 'off' forces the reference-shaped scan path.
+    flat_lv: str = "auto"
 
 
 class Solver:

@@ -83,9 +83,47 @@ class TrainableDiff(Trainable):
         k_prior, k_sim = jax.random.split(key)
         x = self.prior.sample(k_prior, (self.cfg.train_batch_size,))
         x = constrain_batch(x, self.mesh)
+        if self._flat_lv_ok():
+            return self.loss.lv_flat_call(
+                k_sim, self.train_ts, x, self.ctrl_fn(params),
+                traj_fn=self._flat_traj_fn(params), **self.loss_call_args())
         loss, metrics = self.loss(k_sim, self.train_ts, x, self.ctrl_fn(params),
                                   **self.loss_call_args())
         return loss, metrics
+
+    def _flat_lv_ok(self) -> bool:
+        """Flat LV training path eligibility (losses/rds.py lv_flat_call):
+        gradient-identical restructuring that removes backprop-through-scan.
+        ``TrainConfig.flat_lv='off'`` forces the reference-shaped scan."""
+        if getattr(self.cfg, "flat_lv", "auto") == "off":
+            return False
+        loss = self.loss
+        return (getattr(loss, "lv_flat_call", None) is not None
+                and loss.is_lv
+                and loss.sde_ctrl_noise is None
+                and loss.sde_ctrl_dropout is None
+                and set(self.loss_call_args())
+                == {"terminal_unnorm_log_prob", "reference_log_prob"}
+                and loss._flat_grids(self.train_ts) is not None)
+
+    def _flat_traj_fn(self, params):
+        """Fused-Pallas simulation for the flat LV path when the config is
+        in kernel scope, the backend is TPU, and the mesh is single-device
+        (a pallas_call does not SPMD-partition under a sharded batch);
+        None -> lv_flat_call simulates with the scan instead."""
+        if jax.default_backend() != "tpu" or self.mesh.size != 1:
+            return None
+        from ..ops.fused_traj import build_plan, fused_traj_states
+
+        try:
+            plan = build_plan(self.loss, self.generative_ctrl,
+                              jax.lax.stop_gradient(params), self.train_ts)
+        except Exception:
+            return None
+        if plan is None:
+            return None
+        cfg, arrays = plan
+        return lambda x0, zs: fused_traj_states(cfg, arrays, x0, zs)
 
     def evaluate(self, key: jax.Array, use_ema: bool = True,
                  compute_weights: bool = True, return_traj: bool = True) -> Results:

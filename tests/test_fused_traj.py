@@ -22,7 +22,8 @@ from sde_sampler_lrds_tpu.solvers.oc import (GaussianReferenceCtrl,
 DIM, K, BATCH = 8, 12, 64
 
 
-def _setup(loss_cls, ref_kind="gmm", clip=1e4, num_layers=4, **loss_kw):
+def _setup(loss_cls, ref_kind="gmm", clip=1e4, num_layers=4,
+           method="kl", **loss_kw):
     key = jax.random.PRNGKey(0)
     sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
     base = FourierMLP(dim=DIM, num_layers=num_layers)
@@ -39,7 +40,7 @@ def _setup(loss_cls, ref_kind="gmm", clip=1e4, num_layers=4, **loss_kw):
         variances = 0.5 + jax.random.uniform(k_v, (3, DIM))
         weights = jax.random.uniform(k_w, (3,)) + 0.5
         ref = GMMReferenceCtrl(sde, means, variances, weights)
-    loss = loss_cls(sde=sde, method="kl", reference_ctrl=ref, **loss_kw)
+    loss = loss_cls(sde=sde, method=method, reference_ctrl=ref, **loss_kw)
     ts = get_timesteps(0.0, 1.0, steps=K)
     ctrl_fn = lambda t, x: ctrl.apply(params, t, x)
     return loss, ctrl, params, ctrl_fn, ts
@@ -85,6 +86,7 @@ def test_fused_gaussian_reference_and_no_clip():
     np.testing.assert_allclose(r_f, r_s, rtol=2e-5, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_two_layer_mlp():
     """num_layers=2 exercises the zero-hidden-layer dummy-weights path."""
     (x_f, r_f), (x_s, r_s) = _run_both(
@@ -138,6 +140,7 @@ def test_fused_prng_mode_distribution():
                                atol=0.05)
 
 
+@pytest.mark.slow
 def test_fused_eval_sampler_wiring():
     """RDS solver exposes the fused sampler exactly when in scope."""
     from sde_sampler_lrds_tpu.solvers import RDS
@@ -169,3 +172,101 @@ def test_fused_eval_sampler_wiring():
     solver.change_reference_type("gmm", means=means, variances=covs,
                                  weights=jnp.ones((4,)) / 4)
     assert solver.fused_eval_sampler() is None
+
+
+# ---------------------------------------------------------------------------
+# flat LV training path (lv_flat_call)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("loss_cls,kw", [
+    (EIReferenceSDELoss, {}),
+    (DDPMLikeReferenceSDELoss, {}),
+    (EMReferenceSDELoss, {"use_rescaling": True}),
+    (EMReferenceSDELoss, {"use_rescaling": False}),
+])
+def test_lv_flat_matches_scan_value_and_grad(loss_cls, kw):
+    """lv_flat_call == simulate+reduce in value AND parameter gradient under
+    common noise: the LV detachment makes the trajectory gradient-free, so
+    the flat restructuring must be exact, not approximate."""
+    loss, ctrl, params, _, ts = _setup(loss_cls, **kw, method="lv",
+                                       max_rnd=1e8)
+    if loss_cls is DDPMLikeReferenceSDELoss:
+        # the DDPM omega diverges at the exact terminal gridpoint; DDPM
+        # grids stop at T - eps (tests/test_losses.py, reference cosine grid)
+        ts = get_timesteps(0.0, 0.96, steps=K)
+    key = jax.random.PRNGKey(11)
+    x0 = jax.random.normal(jax.random.PRNGKey(12), (BATCH, DIM))
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    ref_lp = lambda x: -0.6 * jnp.sum((x - 0.1) ** 2, axis=-1)
+    # the same zs lv_flat_call derives internally
+    k_z, _ = jax.random.split(key)
+    zs = jax.random.normal(k_z, (K, BATCH, DIM))
+
+    def loss_scan(p):
+        cf = lambda t, x: ctrl.apply(p, t, x)
+        x_t, rnd, _ = loss.simulate(jax.random.PRNGKey(0), ts, x0, cf, term,
+                                    ref_lp, change_sde_ctrl=True, noise=zs)
+        return loss.reduce(rnd, samples=x_t)[0]
+
+    def loss_flat(p):
+        cf = lambda t, x: ctrl.apply(p, t, x)
+        return loss.lv_flat_call(key, ts, x0, cf, term, ref_lp)[0]
+
+    v_scan, g_scan = jax.value_and_grad(loss_scan)(params)
+    v_flat, g_flat = jax.value_and_grad(loss_flat)(params)
+    np.testing.assert_allclose(v_flat, v_scan, rtol=1e-5, atol=1e-6)
+    flat_leaves = jax.tree.leaves(g_flat)
+    scan_leaves = jax.tree.leaves(g_scan)
+    assert any(float(jnp.abs(l).max()) > 0 for l in scan_leaves)
+    for gf, gs in zip(flat_leaves, scan_leaves):
+        np.testing.assert_allclose(gf, gs, rtol=2e-4, atol=1e-5)
+
+
+def test_fused_traj_states_matches_scan():
+    """fused_traj_states (the flat path's Pallas forward) reproduces the
+    scan's pre-step states and terminal sample under common noise."""
+    from sde_sampler_lrds_tpu.ops.fused_traj import fused_traj_states
+
+    loss, ctrl, params, ctrl_fn, ts = _setup(EIReferenceSDELoss, method="lv")
+    cfg, arrays = build_plan(loss, ctrl, params, ts, block_b=BATCH)
+    x0 = jax.random.normal(jax.random.PRNGKey(21), (BATCH, DIM))
+    zs = jax.random.normal(jax.random.PRNGKey(22), (K, BATCH, DIM))
+    xs_f, xt_f = fused_traj_states(cfg, arrays, x0, zs)
+    term = lambda x: jnp.zeros(x.shape[:1])
+    xt_s, _, xs_all = loss.simulate(jax.random.PRNGKey(0), ts, x0, ctrl_fn,
+                                    term, term, change_sde_ctrl=True,
+                                    return_traj=True, noise=zs)
+    np.testing.assert_allclose(xs_f, xs_all[:-1], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(xt_f, xt_s, rtol=2e-5, atol=2e-5)
+
+
+def test_solver_flat_lv_auto_trains():
+    """The flagship RDS/LV solver takes the flat path by default (scan
+    simulation on CPU) and trains to a finite loss; flat_lv='off' still
+    routes the reference-shaped scan loss."""
+    from sde_sampler_lrds_tpu.solvers import RDS
+    from sde_sampler_lrds_tpu.solvers.base import TrainConfig
+    from sde_sampler_lrds_tpu.targets import IsotropicGauss, ManyModes
+
+    def make(flat_lv):
+        target = ManyModes(n_modes=4, dim=DIM, var=0.5)
+        prior = IsotropicGauss(dim=DIM, loc=0.0, scale=1.0)
+        sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+        ctrl = ClippedCtrl(base_model=FourierMLP(dim=DIM, zero_init=True),
+                           clip_model=1e4)
+        cfg = TrainConfig(train_steps=4, train_batch_size=32,
+                          eval_batch_size=32, lr=1e-3, flat_lv=flat_lv)
+        solver = RDS(target, prior, sde, ctrl, EIReferenceSDELoss,
+                     {"method": "lv", "max_rnd": 1e8},
+                     train_ts=get_timesteps(0.0, 1.0, steps=K), cfg=cfg)
+        solver.setup()
+        return solver
+
+    s_auto = make("auto")
+    assert s_auto._flat_lv_ok()
+    m = s_auto.step(jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["train/loss"]))
+    s_off = make("off")
+    assert not s_off._flat_lv_ok()
+    m = s_off.step(jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["train/loss"]))
