@@ -180,9 +180,10 @@ def test_fused_eval_sampler_wiring():
 
 @pytest.mark.parametrize("loss_cls,kw", [
     (EIReferenceSDELoss, {}),
-    (DDPMLikeReferenceSDELoss, {}),
+    pytest.param(DDPMLikeReferenceSDELoss, {}, marks=pytest.mark.slow),
     (EMReferenceSDELoss, {"use_rescaling": True}),
-    (EMReferenceSDELoss, {"use_rescaling": False}),
+    pytest.param(EMReferenceSDELoss, {"use_rescaling": False},
+                 marks=pytest.mark.slow),
 ])
 def test_lv_flat_matches_scan_value_and_grad(loss_cls, kw):
     """lv_flat_call == simulate+reduce in value AND parameter gradient under
@@ -240,33 +241,38 @@ def test_fused_traj_states_matches_scan():
     np.testing.assert_allclose(xt_f, xt_s, rtol=2e-5, atol=2e-5)
 
 
-def test_solver_flat_lv_auto_trains():
-    """The flagship RDS/LV solver takes the flat path by default (scan
-    simulation on CPU) and trains to a finite loss; flat_lv='off' still
-    routes the reference-shaped scan loss."""
+def _make_flat_lv_solver(flat_lv):
     from sde_sampler_lrds_tpu.solvers import RDS
     from sde_sampler_lrds_tpu.solvers.base import TrainConfig
     from sde_sampler_lrds_tpu.targets import IsotropicGauss, ManyModes
 
-    def make(flat_lv):
-        target = ManyModes(n_modes=4, dim=DIM, var=0.5)
-        prior = IsotropicGauss(dim=DIM, loc=0.0, scale=1.0)
-        sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
-        ctrl = ClippedCtrl(base_model=FourierMLP(dim=DIM, zero_init=True),
-                           clip_model=1e4)
-        cfg = TrainConfig(train_steps=4, train_batch_size=32,
-                          eval_batch_size=32, lr=1e-3, flat_lv=flat_lv)
-        solver = RDS(target, prior, sde, ctrl, EIReferenceSDELoss,
-                     {"method": "lv", "max_rnd": 1e8},
-                     train_ts=get_timesteps(0.0, 1.0, steps=K), cfg=cfg)
-        solver.setup()
-        return solver
+    target = ManyModes(n_modes=4, dim=DIM, var=0.5)
+    prior = IsotropicGauss(dim=DIM, loc=0.0, scale=1.0)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ctrl = ClippedCtrl(base_model=FourierMLP(dim=DIM, zero_init=True),
+                       clip_model=1e4)
+    cfg = TrainConfig(train_steps=4, train_batch_size=32,
+                      eval_batch_size=32, lr=1e-3, flat_lv=flat_lv)
+    solver = RDS(target, prior, sde, ctrl, EIReferenceSDELoss,
+                 {"method": "lv", "max_rnd": 1e8},
+                 train_ts=get_timesteps(0.0, 1.0, steps=K), cfg=cfg)
+    solver.setup()
+    return solver
 
-    s_auto = make("auto")
+
+def test_solver_flat_lv_auto_trains():
+    """The flagship RDS/LV solver takes the flat path by default (scan
+    simulation on CPU) and trains to a finite loss."""
+    s_auto = _make_flat_lv_solver("auto")
     assert s_auto._flat_lv_ok()
     m = s_auto.step(jax.random.PRNGKey(0))
     assert np.isfinite(float(m["train/loss"]))
-    s_off = make("off")
+
+
+@pytest.mark.slow
+def test_solver_flat_lv_off_trains():
+    """flat_lv='off' still routes the reference-shaped scan loss."""
+    s_off = _make_flat_lv_solver("off")
     assert not s_off._flat_lv_ok()
     m = s_off.step(jax.random.PRNGKey(0))
     assert np.isfinite(float(m["train/loss"]))
