@@ -374,6 +374,13 @@ def fused_traj_states(cfg: FusedTrajCfg, arrays: dict, x0,
     stop-gradiented (Pallas kernels have no VJP and the LV loss needs
     none — its simulation control is detached by definition)."""
     b = x0.shape[0]
+    # The per-tile xs output block is (K, block_b, D) f32 and must fit in
+    # VMEM (~16 MiB/core) alongside the noise block of the same size and
+    # the state/table buffers: cap block_b so 2·K·block_b·D·4 stays under
+    # a ~10 MiB budget (grid iteration count is free; block size is not).
+    budget_rows = max((10 << 20) // (2 * 4 * cfg.k_steps * cfg.dim), 8)
+    if cfg.block_b > budget_rows:
+        cfg = dataclasses.replace(cfg, block_b=1 << (budget_rows.bit_length() - 1))
     cfg = adapt_block(cfg, b)
     arrays = jax.lax.stop_gradient(arrays)
     x0 = jax.lax.stop_gradient(jnp.asarray(x0, jnp.float32))
