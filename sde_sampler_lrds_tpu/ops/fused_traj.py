@@ -23,9 +23,16 @@ Scope (the flagship RDS eval path; everything else falls back to the scan):
     f32 params, no angle encoding. The per-step TimeEmbed output depends
     only on the (static) time grid, so it is precomputed OUTSIDE as a
     (K, H) table — bit-identical to the scan path's batch-1 broadcast.
-  * reference: tabulated diagonal-Gaussian / diagonal-GMM noised-marginal
-    score (solvers/oc.py GaussianReferenceCtrl/GMMReferenceCtrl), folded to
-    per-step (log-weight constants, means, inverse variances) tables.
+  * reference: tabulated Gaussian / GMM noised-marginal score
+    (solvers/oc.py GaussianReferenceCtrl/GMMReferenceCtrl) — diagonal
+    covariances fold to per-step (log-weight constants, means, inverse
+    variances) tables; FULL covariances ride the eigendecomposition
+    (cov_c = P_c diag(eig) P_cᵀ noises to the SAME eigenbasis under a
+    linear SDE, sde/linear.py:191), so the kernel adds two (B,D)×(D,D)
+    MXU matmuls per component per step against static rotation tables —
+    this is the φ⁴ / logreg experiment configuration (experiments/
+    common.py:389 passes eigendecomposed tuples; raw full matrices are
+    eigendecomposed once at plan-build time).
 
 The terminal cost log p_ref(x_T) − log ρ(x_T) stays outside (one batched
 call, identical to the scan path).
@@ -63,6 +70,9 @@ class FusedTrajCfg:
     clip: float | None
     activation: Callable
     block_b: int
+    # eigendecomposed full-covariance reference: ref_iv holds inverse
+    # eigen-variances and the kernel rotates through ref_p / ref_pt
+    full_cov: bool = False
 
 
 def _fourier_mlp_tables(ctrl_module, params, t_grid):
@@ -115,12 +125,63 @@ def _fourier_mlp_tables(ctrl_module, params, t_grid):
     return fields, arrays
 
 
+def _factored_reference_tables(reference_ctrl, t_grid, dim):
+    """Per-step tables for an eigendecomposed full-covariance reference
+    (cov_c = P_c diag(eig_c) P_cᵀ, sde/linear.py _factored_noised_mog): the
+    noised covariance keeps the SAME eigenbasis — P_c diag(s²(eig+σ²)) P_cᵀ
+    — so the kernel only needs the static rotation matrices plus per-step
+    inverse eigen-variances, and the score is two (B,D)×(D,D) MXU matmuls
+    per component per step."""
+    if hasattr(reference_ctrl, "var_init"):          # GaussianReferenceCtrl
+        var = reference_ctrl.var_init
+        if not isinstance(var, tuple):
+            if jnp.ndim(var) != 2:                   # diag: cheaper path
+                return None
+            var = jnp.linalg.eigh(var)               # one-time host eigh
+        eig, p = var
+        eig, p = jnp.atleast_2d(eig), (p[None] if p.ndim == 2 else p)
+        means = jnp.atleast_2d(reference_ctrl.x_init)
+        w = jnp.ones((means.shape[0],))
+    elif hasattr(reference_ctrl, "variances"):       # GMMReferenceCtrl
+        var = reference_ctrl.variances
+        if not isinstance(var, tuple):
+            if jnp.ndim(var) != 3:                   # diag: cheaper path
+                return None
+            var = jnp.linalg.eigh(var)
+        eig, p = var
+        means = reference_ctrl.means
+        w = reference_ctrl.weights
+    else:
+        return None
+    c, d = means.shape
+    if d != dim or eig.shape != (c, d) or p.shape != (c, d, d):
+        return None
+    sde = reference_ctrl.sde
+    s_t = jax.vmap(sde.s)(t_grid).reshape(-1, 1, 1)              # (K, 1, 1)
+    sig2 = jax.vmap(sde.sigma_sq)(t_grid).reshape(-1, 1, 1)
+    denom = s_t**2 * (eig[None] + sig2)                          # (K, C, D)
+    k = t_grid.shape[0]
+    w = (w / w.sum()).reshape(1, c)
+    const = (jnp.log(w) - 0.5 * d * _LOG_2PI
+             - 0.5 * jnp.sum(jnp.log(denom), axis=-1))           # (K, C)
+    m = jnp.broadcast_to(s_t.reshape(k, 1, 1) * means[None], (k, c, d))
+    pt = jnp.swapaxes(p, -1, -2)
+    return dict(ref_const=jnp.broadcast_to(const, (k, c)).astype(jnp.float32),
+                ref_m=m.reshape(k, c * d).astype(jnp.float32),
+                ref_iv=(1.0 / denom).reshape(k, c * d).astype(jnp.float32),
+                ref_p=p.reshape(c * d, d).astype(jnp.float32),
+                ref_pt=pt.reshape(c * d, d).astype(jnp.float32))
+
+
 def _reference_tables(reference_ctrl, t_grid, dim):
     """Fold a tabulated diagonal Gaussian/GMM reference into per-step
     (softmax constants, means, inverse variances). Returns None if the
     reference is not diagonal-tabulated."""
     if not hasattr(reference_ctrl, "precompute"):
         return None
+    factored = _factored_reference_tables(reference_ctrl, t_grid, dim)
+    if factored is not None:
+        return factored
     tab = reference_ctrl.precompute(t_grid)
     if len(tab) == 2:  # GaussianReferenceCtrl: (loc, var)
         loc, var = tab
@@ -206,7 +267,8 @@ def build_plan(loss, ctrl_module, params, ts, block_b: int = 2048):
     if ref is None:
         return None
     cfg = FusedTrajCfg(k_steps=int(ts.shape[0] - 1), block_b=block_b,
-                       n_comp=ref["ref_const"].shape[1], **fields)
+                       n_comp=ref["ref_const"].shape[1],
+                       full_cov="ref_p" in ref, **fields)
     arrays = dict(coefs=coefs, **arrays, **ref)
     return cfg, arrays
 
@@ -223,14 +285,15 @@ def _traj_kernel(cfg: FusedTrajCfg, use_noise_input: bool, return_traj: bool,
     xs_out_ref = None
     if return_traj:
         *refs, xs_out_ref = refs
+    (x0_ref, coef_ref, embed_ref, w0_ref, b0_ref, wh_ref, bh_ref,
+     wout_ref, bout_ref, const_ref, m_ref, iv_ref, *refs) = refs
+    p_ref = pt_ref = None
+    if cfg.full_cov:
+        p_ref, pt_ref, *refs = refs
     if use_noise_input:
-        (x0_ref, coef_ref, embed_ref, w0_ref, b0_ref, wh_ref, bh_ref,
-         wout_ref, bout_ref, const_ref, m_ref, iv_ref, noise_ref,
-         x_out_ref, rnd_out_ref) = refs
+        noise_ref, x_out_ref, rnd_out_ref = refs
     else:
-        (x0_ref, coef_ref, embed_ref, w0_ref, b0_ref, wh_ref, bh_ref,
-         wout_ref, bout_ref, const_ref, m_ref, iv_ref, seed_ref,
-         x_out_ref, rnd_out_ref) = refs
+        seed_ref, x_out_ref, rnd_out_ref = refs
         # decorrelate batch tiles; each tile draws its own stream
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
@@ -252,16 +315,28 @@ def _traj_kernel(cfg: FusedTrajCfg, use_noise_input: bool, return_traj: bool,
                     preferred_element_type=jnp.float32) + bout_ref[:]
         if cfg.clip is not None:
             u = jnp.clip(u, -cfg.clip, cfg.clip)
-        # ---- reference score of the noised diagonal MoG ------------------
+        # ---- reference score of the noised (diag / eigen-full) MoG -------
         row_c = const_ref[pl.ds(k, 1), :]                         # (1, C)
         row_m = m_ref[pl.ds(k, 1), :]                             # (1, C·D)
         row_iv = iv_ref[pl.ds(k, 1), :]
         logits, grads = [], []
         for j in range(c):
             diff = x - row_m[:, j * d:(j + 1) * d]                # (B, D)
-            g = diff * row_iv[:, j * d:(j + 1) * d]
-            logits.append(row_c[:, j:j + 1]
-                          - 0.5 * jnp.sum(diff * g, axis=-1, keepdims=True))
+            if cfg.full_cov:
+                # rotate into the component's (time-invariant) eigenbasis,
+                # scale by the per-step inverse eigen-variances, rotate back
+                y = jnp.dot(diff, p_ref[j * d:(j + 1) * d, :],
+                            preferred_element_type=jnp.float32)
+                ys = y * row_iv[:, j * d:(j + 1) * d]
+                logits.append(row_c[:, j:j + 1]
+                              - 0.5 * jnp.sum(y * ys, axis=-1, keepdims=True))
+                g = jnp.dot(ys, pt_ref[j * d:(j + 1) * d, :],
+                            preferred_element_type=jnp.float32)
+            else:
+                g = diff * row_iv[:, j * d:(j + 1) * d]
+                logits.append(row_c[:, j:j + 1]
+                              - 0.5 * jnp.sum(diff * g, axis=-1,
+                                              keepdims=True))
             grads.append(g)
         if c == 1:
             ref_score = -grads[0]
@@ -315,6 +390,8 @@ def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
         bcast(h, d), bcast(1, d),              # W_out, b_out
         bcast(k, c), bcast(k, c * d), bcast(k, c * d),        # reference
     ]
+    if cfg.full_cov:
+        in_specs += [bcast(c * d, d), bcast(c * d, d)]        # P, Pᵀ stacks
     if use_noise_input:
         in_specs.append(pl.BlockSpec((k, b_t, d), lambda i: (0, i, 0),
                                      memory_space=pltpu.VMEM))
@@ -330,6 +407,12 @@ def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
         out_specs.append(pl.BlockSpec((k, b_t, d), lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((k, b, d), jnp.float32))
+    operands = [x0, arrays["coefs"], arrays["embed"], arrays["w0"],
+                arrays["b0"], arrays["wh"], arrays["bh"], arrays["w_out"],
+                arrays["b_out"], arrays["ref_const"], arrays["ref_m"],
+                arrays["ref_iv"]]
+    if cfg.full_cov:
+        operands += [arrays["ref_p"], arrays["ref_pt"]]
     out = pl.pallas_call(
         functools.partial(_traj_kernel, cfg, use_noise_input, return_traj),
         grid=grid,
@@ -337,9 +420,7 @@ def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
-    )(x0, arrays["coefs"], arrays["embed"], arrays["w0"], arrays["b0"],
-      arrays["wh"], arrays["bh"], arrays["w_out"], arrays["b_out"],
-      arrays["ref_const"], arrays["ref_m"], arrays["ref_iv"], seed_or_noise)
+    )(*operands, seed_or_noise)
     x_t, rnd = out[0], out[1]
     xs = out[2] if return_traj else None
     return x_t, rnd[:, 0], xs

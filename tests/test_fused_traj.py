@@ -22,6 +22,12 @@ from sde_sampler_lrds_tpu.solvers.oc import (GaussianReferenceCtrl,
 DIM, K, BATCH = 8, 12, 64
 
 
+def _full_covs(n, seed):
+    """Random well-conditioned full covariance matrices (N, D, D)."""
+    a = jax.random.normal(jax.random.PRNGKey(seed), (n, DIM, DIM))
+    return a @ jnp.swapaxes(a, -1, -2) / DIM + 0.5 * jnp.eye(DIM)
+
+
 def _setup(loss_cls, ref_kind="gmm", clip=1e4, num_layers=4,
            method="kl", **loss_kw):
     key = jax.random.PRNGKey(0)
@@ -34,6 +40,15 @@ def _setup(loss_cls, ref_kind="gmm", clip=1e4, num_layers=4,
     if ref_kind == "gauss":
         ref = GaussianReferenceCtrl(sde, x_init=jnp.zeros((DIM,)),
                                     var_init=1.3 * jnp.ones((DIM,)))
+    elif ref_kind == "gauss_full":
+        ref = GaussianReferenceCtrl(sde, x_init=0.3 * jnp.ones((DIM,)),
+                                    var_init=_full_covs(1, seed=5)[0])
+    elif ref_kind == "gmm_full":
+        k_m, k_w = jax.random.split(jax.random.PRNGKey(1), 2)
+        means = jax.random.normal(k_m, (3, DIM))
+        weights = jax.random.uniform(k_w, (3,)) + 0.5
+        eig, p = jnp.linalg.eigh(_full_covs(3, seed=6))
+        ref = GMMReferenceCtrl(sde, means, (eig, p), weights)
     else:
         k_m, k_v, k_w = jax.random.split(jax.random.PRNGKey(1), 3)
         means = jax.random.normal(k_m, (3, DIM))
@@ -104,14 +119,26 @@ def test_build_plan_rejects_unsupported():
     dn_params = dn.init(jax.random.PRNGKey(0), jnp.zeros(()),
                         jnp.zeros((1, DIM)))
     assert build_plan(loss, dn, dn_params, ts) is None
-    # full-covariance reference
-    covs = jnp.eye(DIM)[None].repeat(3, 0)
+    # raw full-covariance reference: eigendecomposed at plan time, IN scope
+    covs = _full_covs(3, seed=8)
     loss.reference_ctrl = GMMReferenceCtrl(
         loss.sde, jnp.zeros((3, DIM)), covs, jnp.ones((3,)))
-    assert build_plan(loss, ctrl, params, ts) is None
+    plan = build_plan(loss, ctrl, params, ts)
+    assert plan is not None and plan[0].full_cov
     # non-tabulated callable reference
     loss.reference_ctrl = lambda t, x: -x
     assert build_plan(loss, ctrl, params, ts) is None
+
+
+@pytest.mark.parametrize("ref_kind", ["gmm_full", "gauss_full"])
+def test_fused_full_cov_matches_scan(ref_kind):
+    """Eigendecomposed full-covariance references: fused kernel == scan under
+    common noise (the φ⁴/logreg experiment configuration,
+    experiments/common.py:389)."""
+    (x_f, r_f), (x_s, r_s) = _run_both(
+        *_setup(EIReferenceSDELoss, ref_kind=ref_kind))
+    np.testing.assert_allclose(x_f, x_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(r_f, r_s, rtol=2e-5, atol=2e-4)
 
 
 def test_fused_prng_mode_distribution():
@@ -167,10 +194,16 @@ def test_fused_eval_sampler_wiring():
     # default ('vp stationary') reference is a tabulated Gaussian — in scope
     solver.change_reference_type("default")
     assert solver.fused_eval_sampler() is not None
-    # full-covariance GMM reference — out of scope, scan fallback
-    covs = jnp.eye(DIM)[None].repeat(4, 0)
-    solver.change_reference_type("gmm", means=means, variances=covs,
+    # full-covariance GMM reference (eigendecomposed tuple, the experiment
+    # configuration) — in scope since the factored-reference kernel path
+    covs = jnp.eye(DIM)[None].repeat(4, 0) * jnp.linspace(0.5, 2.0, 4)[:, None, None]
+    solver.change_reference_type("gmm", means=means,
+                                 variances=jnp.linalg.eigh(covs),
                                  weights=jnp.ones((4,)) / 4)
+    assert solver.fused_eval_sampler() is not None
+    # genuinely out of scope: a frozen-EBM ('nn') reference
+    solver.change_reference_type(
+        "nn", net=(lambda t, x: -x, lambda t, x: -0.5 * jnp.sum(x**2, -1)))
     assert solver.fused_eval_sampler() is None
 
 
