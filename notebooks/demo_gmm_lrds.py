@@ -65,11 +65,13 @@ counts = target.compute_mode_count(results.samples)
 print("recovered mode weights:", counts / counts.sum())
 print("true mode weights:     ", target._probs)
 
-# %% plots
+# %% plots (trajectory plots need an eval pass that keeps trajectories)
 from sde_sampler_lrds_tpu.eval.plots import get_plots, save_fig
 
-plots = get_plots(target, results.samples, weights=results.weights,
-                  ts=results.ts, xs=results.xs, marginal_dims=[0, 1])
+key, k_plot = jax.random.split(key)
+traj_results = model.evaluate(k_plot, return_traj=True)
+plots = get_plots(target, traj_results.samples, weights=traj_results.weights,
+                  ts=traj_results.ts, xs=traj_results.xs, marginal_dims=[0, 1])
 out = Path(__file__).parent / "demo_out"
 for name, fig in plots.items():
     save_fig(fig, out / f"{name.replace('/', '_')}.png")

@@ -210,7 +210,7 @@ def main():
         solver.store_checkpoint()
         if args.plots:
             key = jax.random.PRNGKey(args.seed + 17)
-            results = solver.evaluate(key)
+            results = solver.evaluate(key, return_traj=True)
             plots = get_plots(solver.target, results.samples,
                               weights=results.weights, ts=results.ts,
                               xs=results.xs, marginal_dims=[0, 1])

@@ -89,6 +89,11 @@ class TrainConfig:
     # the scan path; no backprop-through-scan, fused Pallas simulation on a
     # single-device TPU mesh); 'off' forces the reference-shaped scan path.
     flat_lv: str = "auto"
+    # fused whole-trajectory eval (ops/fused_traj, TrainableDiff.evaluate):
+    # 'auto' routes no-trajectory evals through the Pallas kernel on a
+    # single-device TPU mesh when the config is in scope; 'off' forces the
+    # scan; 'force' also allows non-TPU backends (interpret mode — tests).
+    fused_eval: str = "auto"
 
 
 class Solver:

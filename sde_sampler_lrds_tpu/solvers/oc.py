@@ -126,8 +126,19 @@ class TrainableDiff(Trainable):
         return lambda x0, zs: fused_traj_states(cfg, arrays, x0, zs)
 
     def evaluate(self, key: jax.Array, use_ema: bool = True,
-                 compute_weights: bool = True, return_traj: bool = True) -> Results:
+                 compute_weights: bool = True, return_traj: bool = False) -> Results:
+        """Evaluation pass. ``return_traj`` defaults to False (the reference
+        keeps trajectories by default, solver/oc.py:133 — here only the
+        plotting paths ask for them, and dropping them keeps eval in scope
+        for the fused whole-trajectory kernel). With ``return_traj=False``,
+        a TPU backend, a single-device mesh, and an in-scope (loss, control,
+        reference) triple, the pass runs through ops/fused_traj instead of
+        the lax.scan — same estimator, on-core PRNG stream
+        (TrainConfig.fused_eval: 'auto'|'off'|'force')."""
         params = self.state.ema_params if (use_ema and self.cfg.use_ema) else self.state.params
+        if not return_traj and self._fused_eval_ok(params):
+            return self._cached_eval(params, key, compute_weights, False,
+                                     self._eval_sim_fused)
         return self._cached_eval(params, key, compute_weights, return_traj,
                                  self._eval_sim)
 
@@ -139,6 +150,46 @@ class TrainableDiff(Trainable):
                               compute_weights=compute_weights,
                               return_traj=return_traj, **self.loss_call_args())
 
+    def _fused_eval_ok(self, params) -> bool:
+        """Fused-eval eligibility: single-device mesh (a pallas_call does not
+        SPMD-partition a sharded batch), TPU backend unless forced, and a
+        (loss, control, reference) triple inside ops/fused_traj's scope."""
+        mode = getattr(self.cfg, "fused_eval", "auto")
+        if mode == "off" or self.mesh.size != 1:
+            return False
+        if mode != "force" and jax.default_backend() != "tpu":
+            return False
+        if set(self.loss_call_args()) != {"terminal_unnorm_log_prob",
+                                          "reference_log_prob"}:
+            return False
+        from ..ops.fused_traj import build_plan
+
+        try:
+            return build_plan(self.loss, self.generative_ctrl, params,
+                              self.eval_ts) is not None
+        except Exception:
+            return False
+
+    def _eval_sim_fused(self, params, key, compute_weights, return_traj):
+        from ..ops.fused_traj import build_plan, fused_simulate
+
+        args = self.loss_call_args()
+        k_prior, k_sim = jax.random.split(key)
+        x = self.prior.sample(k_prior, (self.cfg.eval_batch_size,))
+        cfg, arrays = build_plan(self.loss, self.generative_ctrl, params,
+                                 self.eval_ts)
+        if jax.default_backend() == "tpu":
+            samples, rnd = fused_simulate(cfg, arrays, k_sim, x, **args)
+        else:  # interpret mode ('force', tests): it lacks the on-core PRNG
+            zs = jax.random.normal(
+                k_sim, (self.eval_ts.shape[0] - 1, *x.shape))
+            samples, rnd = fused_simulate(cfg, arrays, None, x, noise=zs,
+                                          **args)
+        return compute_results(rnd, compute_weights=compute_weights,
+                               ts=self.eval_ts,
+                               max_rnd=getattr(self.loss, "max_rnd", None),
+                               samples=samples, xs=None)
+
     def _cached_eval(self, params, key, compute_weights, return_traj, sim):
         """One cached jit per (flags): repeated evals dispatch instead of
         re-tracing the full trajectory scan (minutes per call for the UNet).
@@ -147,9 +198,10 @@ class TrainableDiff(Trainable):
         cache = getattr(self, "_eval_jit_cache", None)
         if cache is None:
             cache = self._eval_jit_cache = {}
-        fn = cache.get((compute_weights, return_traj))
+        cache_key = (compute_weights, return_traj, sim.__name__)
+        fn = cache.get(cache_key)
         if fn is None:
-            fn = cache[(compute_weights, return_traj)] = jax.jit(
+            fn = cache[cache_key] = jax.jit(
                 lambda p, k: sim(p, k, compute_weights, return_traj))
         res = fn(params, key)
         res.metrics = {k: float(v) for k, v in res.metrics.items()}

@@ -302,6 +302,52 @@ def test_solver_flat_lv_auto_trains():
     assert np.isfinite(float(m["train/loss"]))
 
 
+def test_solver_fused_eval_routing():
+    """evaluate(return_traj=False) routes through the fused kernel under
+    fused_eval='force' (CPU interpret mode) and agrees with the scan eval
+    (fused_eval='off') up to the RNG stream; return_traj=True keeps the
+    scan path and returns trajectories."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from sde_sampler_lrds_tpu.solvers import RDS
+    from sde_sampler_lrds_tpu.solvers.base import TrainConfig
+    from sde_sampler_lrds_tpu.targets import Gauss, IsotropicGauss
+
+    # near-Gaussian target: the untrained sampler's RND is well-concentrated,
+    # so two independent RNG streams give comparable means (a multimodal
+    # target's untrained RND is too heavy-tailed for that)
+    target = Gauss(dim=DIM, loc=0.3, scale=1.2)
+    prior = IsotropicGauss(dim=DIM, loc=0.0, scale=1.0)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ctrl = ClippedCtrl(base_model=FourierMLP(dim=DIM, zero_init=True),
+                       clip_model=1e4)
+    cfg = TrainConfig(train_steps=2, train_batch_size=32,
+                      eval_batch_size=1024, lr=1e-3)
+    s = RDS(target, prior, sde, ctrl, EIReferenceSDELoss,
+            {"method": "lv", "max_rnd": 1e8},
+            train_ts=get_timesteps(0.0, 1.0, steps=K), cfg=cfg)
+    s.setup()
+    # fused eval requires a single-device mesh (conftest forces 8 virtual
+    # CPU devices, under which the default mesh is 8-wide data-parallel)
+    s.mesh = Mesh(_np.array(jax.devices()[:1]), ("dp",))
+    s.cfg.fused_eval = "force"
+    assert s._fused_eval_ok(s.state.params)
+    res_f = s.evaluate(jax.random.PRNGKey(3))
+    assert res_f.xs is None
+    assert ("_eval_sim_fused" in {k[2] for k in s._eval_jit_cache})
+    s.cfg.fused_eval = "off"
+    res_s = s.evaluate(jax.random.PRNGKey(3))
+    # different RNG streams -> loose statistical agreement only (bit-level
+    # kernel parity under common noise is covered by the tests above)
+    lz = "log_norm_const_is"
+    assert abs(res_f.log_norm_const_preds[lz]
+               - res_s.log_norm_const_preds[lz]) < 0.5
+    assert abs(res_f.metrics["eval/elbo"] - res_s.metrics["eval/elbo"]) < 1.5
+    s.cfg.fused_eval = "force"
+    res_t = s.evaluate(jax.random.PRNGKey(4), return_traj=True)
+    assert res_t.xs is not None  # trajectory request forces the scan
+
+
 @pytest.mark.slow
 def test_solver_flat_lv_off_trains():
     """flat_lv='off' still routes the reference-shaped scan loss."""
