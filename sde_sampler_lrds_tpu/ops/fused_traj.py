@@ -470,6 +470,56 @@ def fused_traj_states(cfg: FusedTrajCfg, arrays: dict, x0,
     return xs, x_t
 
 
+def fused_simulate_sharded(mesh, cfg: FusedTrajCfg, arrays: dict, key, x0,
+                           terminal_unnorm_log_prob, reference_log_prob):
+    """``fused_simulate`` composed with the data-parallel mesh: a
+    ``pallas_call`` does not SPMD-partition a sharded operand, so run the
+    kernel per shard under ``shard_map`` — every device executes the whole
+    K-step trajectory on its local batch rows against replicated tables,
+    and the terminal costs stay elementwise per shard. Per-device PRNG
+    streams decorrelate by folding the device's axis index into the key."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import data_axis
+
+    def local(arrays, key, x0):
+        key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
+        if jax.default_backend() != "tpu":
+            # interpret mode lacks the on-core PRNG: host-drawn per-shard
+            zs = jax.random.normal(key, (cfg.k_steps, *x0.shape))
+            return fused_simulate(cfg, arrays, None, x0,
+                                  terminal_unnorm_log_prob,
+                                  reference_log_prob, noise=zs)
+        return fused_simulate(cfg, arrays, key, x0,
+                              terminal_unnorm_log_prob, reference_log_prob)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, and the kernel is purely per-shard anyway
+    return jax.shard_map(local, mesh=mesh,
+                     in_specs=(P(), P(), P(data_axis)),
+                     out_specs=(P(data_axis), P(data_axis)),
+                     check_vma=False)(arrays, key, x0)
+
+
+def fused_traj_states_sharded(mesh, cfg: FusedTrajCfg, arrays: dict, x0,
+                              noise: jnp.ndarray):
+    """``fused_traj_states`` under ``shard_map``: batch rows of x0/noise
+    sharded over the data axis, trajectory states returned with the same
+    batch sharding (the flat LV cost evaluation downstream is elementwise
+    over batch rows, so no resharding follows)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import data_axis
+
+    def local(arrays, x0, noise):
+        return fused_traj_states(cfg, arrays, x0, noise)
+
+    return jax.shard_map(local, mesh=mesh,
+                     in_specs=(P(), P(data_axis), P(None, data_axis)),
+                     out_specs=(P(None, data_axis), P(data_axis)),
+                     check_vma=False)(arrays, x0, noise)
+
+
 def adapt_block(cfg: FusedTrajCfg, batch: int) -> FusedTrajCfg:
     """Shrink block_b to a divisor of the batch (sublane-aligned)."""
     b_t = min(cfg.block_b, batch)

@@ -108,12 +108,16 @@ class TrainableDiff(Trainable):
 
     def _flat_traj_fn(self, params):
         """Fused-Pallas simulation for the flat LV path when the config is
-        in kernel scope, the backend is TPU, and the mesh is single-device
-        (a pallas_call does not SPMD-partition under a sharded batch);
-        None -> lv_flat_call simulates with the scan instead."""
-        if jax.default_backend() != "tpu" or self.mesh.size != 1:
+        in kernel scope and the backend is TPU. On a multi-device mesh the
+        kernel runs per shard under shard_map (a pallas_call does not
+        SPMD-partition a sharded operand itself); None -> lv_flat_call
+        simulates with the scan instead."""
+        if jax.default_backend() != "tpu":
             return None
-        from ..ops.fused_traj import build_plan, fused_traj_states
+        if self.mesh.size > 1 and self.cfg.train_batch_size % self.mesh.size:
+            return None
+        from ..ops.fused_traj import (build_plan, fused_traj_states,
+                                      fused_traj_states_sharded)
 
         try:
             plan = build_plan(self.loss, self.generative_ctrl,
@@ -123,6 +127,9 @@ class TrainableDiff(Trainable):
         if plan is None:
             return None
         cfg, arrays = plan
+        if self.mesh.size > 1:
+            return lambda x0, zs: fused_traj_states_sharded(
+                self.mesh, cfg, arrays, x0, zs)
         return lambda x0, zs: fused_traj_states(cfg, arrays, x0, zs)
 
     def evaluate(self, key: jax.Array, use_ema: bool = True,
@@ -151,11 +158,12 @@ class TrainableDiff(Trainable):
                               return_traj=return_traj, **self.loss_call_args())
 
     def _fused_eval_ok(self, params) -> bool:
-        """Fused-eval eligibility: single-device mesh (a pallas_call does not
-        SPMD-partition a sharded batch), TPU backend unless forced, and a
-        (loss, control, reference) triple inside ops/fused_traj's scope."""
+        """Fused-eval eligibility: TPU backend unless forced, batch
+        divisible over the mesh (multi-device meshes run the kernel per
+        shard under shard_map), and a (loss, control, reference) triple
+        inside ops/fused_traj's scope."""
         mode = getattr(self.cfg, "fused_eval", "auto")
-        if mode == "off" or self.mesh.size != 1:
+        if mode == "off" or self.cfg.eval_batch_size % self.mesh.size:
             return False
         if mode != "force" and jax.default_backend() != "tpu":
             return False
@@ -171,14 +179,19 @@ class TrainableDiff(Trainable):
             return False
 
     def _eval_sim_fused(self, params, key, compute_weights, return_traj):
-        from ..ops.fused_traj import build_plan, fused_simulate
+        from ..ops.fused_traj import (build_plan, fused_simulate,
+                                      fused_simulate_sharded)
 
         args = self.loss_call_args()
         k_prior, k_sim = jax.random.split(key)
         x = self.prior.sample(k_prior, (self.cfg.eval_batch_size,))
         cfg, arrays = build_plan(self.loss, self.generative_ctrl, params,
                                  self.eval_ts)
-        if jax.default_backend() == "tpu":
+        if self.mesh.size > 1:
+            x = constrain_batch(x, self.mesh)
+            samples, rnd = fused_simulate_sharded(self.mesh, cfg, arrays,
+                                                  k_sim, x, **args)
+        elif jax.default_backend() == "tpu":
             samples, rnd = fused_simulate(cfg, arrays, k_sim, x, **args)
         else:  # interpret mode ('force', tests): it lacks the on-core PRNG
             zs = jax.random.normal(

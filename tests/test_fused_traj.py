@@ -302,6 +302,51 @@ def test_solver_flat_lv_auto_trains():
     assert np.isfinite(float(m["train/loss"]))
 
 
+def test_fused_sharded_matches_unsharded():
+    """shard_map composition: the fused kernel run per shard over the
+    8-device virtual mesh reproduces the unsharded kernel exactly under
+    common noise, and the PRNG-mode sharded eval runs end to end."""
+    from sde_sampler_lrds_tpu.ops.fused_traj import (fused_simulate_sharded,
+                                                     fused_traj_states,
+                                                     fused_traj_states_sharded)
+    from sde_sampler_lrds_tpu.parallel.mesh import get_mesh
+
+    loss, ctrl, params, ctrl_fn, ts = _setup(EIReferenceSDELoss, method="lv")
+    cfg, arrays = build_plan(loss, ctrl, params, ts, block_b=BATCH)
+    mesh = get_mesh()
+    assert mesh.size == 8
+    x0 = jax.random.normal(jax.random.PRNGKey(31), (BATCH, DIM))
+    zs = jax.random.normal(jax.random.PRNGKey(32), (K, BATCH, DIM))
+    xs_u, xt_u = fused_traj_states(cfg, arrays, x0, zs)
+    xs_s, xt_s = fused_traj_states_sharded(mesh, cfg, arrays, x0, zs)
+    np.testing.assert_allclose(np.asarray(xs_s), np.asarray(xs_u),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xt_s), np.asarray(xt_u),
+                               rtol=2e-5, atol=2e-5)
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    ref_lp = lambda x: -0.6 * jnp.sum((x - 0.1) ** 2, axis=-1)
+    x_t, rnd = fused_simulate_sharded(mesh, cfg, arrays,
+                                      jax.random.PRNGKey(33), x0, term,
+                                      ref_lp)
+    assert x_t.shape == (BATCH, DIM) and rnd.shape == (BATCH,)
+    assert np.all(np.isfinite(np.asarray(x_t)))
+    assert np.all(np.isfinite(np.asarray(rnd)))
+
+
+def test_solver_fused_eval_sharded_mesh():
+    """Fused eval under the default 8-device virtual mesh: the kernel runs
+    per shard via shard_map and the eval metrics come back finite."""
+    s = _make_flat_lv_solver("off")
+    assert s.mesh.size == 8
+    s.cfg.eval_batch_size = 64
+    s.cfg.fused_eval = "force"
+    assert s._fused_eval_ok(s.state.params)
+    res = s.evaluate(jax.random.PRNGKey(5))
+    assert res.xs is None
+    assert np.isfinite(res.metrics["eval/elbo"])
+    assert np.isfinite(res.log_norm_const_preds["log_norm_const_is"])
+
+
 def test_solver_fused_eval_routing():
     """evaluate(return_traj=False) routes through the fused kernel under
     fused_eval='force' (CPU interpret mode) and agrees with the scan eval
