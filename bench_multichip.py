@@ -129,7 +129,17 @@ def main():
         tput = timed_throughput(sample, batch, args.n_calls, args.reps)
         results[n] = {"eval": tput, "train": train_sps,
                       "loss": float(m["train/loss"]) if m is not None else None}
-        print(f"[mesh {n}] eval {tput:.3e} train {train_sps:.3e} "
+        # fused kernel-per-shard eval (ops/fused_traj + shard_map): timed on
+        # real TPU meshes only — interpret mode on the virtual CPU mesh is
+        # a correctness tier, not a perf tier
+        if jax.default_backend() == "tpu":
+            fused = solver.fused_eval_sampler()
+            if fused is not None:
+                results[n]["eval_fused"] = timed_throughput(
+                    fused, batch, args.n_calls, args.reps)
+        print(f"[mesh {n}] eval {tput:.3e} "
+              f"fused {results[n].get('eval_fused', float('nan')):.3e} "
+              f"train {train_sps:.3e} "
               f"sde_steps*samples/s (batch {batch})", file=sys.stderr)
 
     tput_n = results[n_devices]["eval"]
@@ -144,6 +154,8 @@ def main():
         "single_device": round(tput_1, 1),
         "scaling_efficiency": round(eff, 4),
         "train_steps_samples_per_sec": round(results[n_devices]["train"], 1),
+        **({"fused": round(results[n_devices]["eval_fused"], 1)}
+           if "eval_fused" in results[n_devices] else {}),
         "platform": jax.devices()[0].platform,
     }))
 

@@ -229,12 +229,15 @@ class TrainableDiff(Trainable):
         Returns None when the (loss, control, reference) triple is outside
         the kernel's scope — callers fall back to the scan path. Plans are
         built per call (cheap) so they always see the current params."""
-        from ..ops.fused_traj import build_plan, fused_simulate
+        from ..ops.fused_traj import (build_plan, fused_simulate,
+                                      fused_simulate_sharded)
 
         params = self.state.ema_params if (use_ema and self.cfg.use_ema) \
             else self.state.params
         args = self.loss_call_args(use_ema=use_ema)
         if set(args) != {"terminal_unnorm_log_prob", "reference_log_prob"}:
+            return None
+        if self.cfg.eval_batch_size % self.mesh.size:
             return None
         plan = build_plan(self.loss, self.generative_ctrl, params,
                           self.eval_ts, block_b=block_b)
@@ -246,6 +249,12 @@ class TrainableDiff(Trainable):
         def sample(key):
             k_p, k_s = jax.random.split(key)
             x0 = self.prior.sample(k_p, (self.cfg.eval_batch_size,))
+            if self.mesh.size > 1:  # kernel-per-shard over the data axis
+                x0 = constrain_batch(x0, self.mesh)
+                return fused_simulate_sharded(
+                    self.mesh, cfg, arrays, k_s, x0,
+                    args["terminal_unnorm_log_prob"],
+                    args["reference_log_prob"])
             return fused_simulate(cfg, arrays, k_s, x0,
                                   args["terminal_unnorm_log_prob"],
                                   args["reference_log_prob"])
