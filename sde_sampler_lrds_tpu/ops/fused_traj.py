@@ -73,6 +73,10 @@ class FusedTrajCfg:
     # eigendecomposed full-covariance reference: ref_iv holds inverse
     # eigen-variances and the kernel rotates through ref_p / ref_pt
     full_cov: bool = False
+    # control-MLP matmuls in bfloat16 (FourierMLP.compute_dtype semantics:
+    # weights/biases/activations bf16, output cast back to f32; the state
+    # update, RND accumulation, and reference score stay f32)
+    bf16: bool = False
 
 
 def _fourier_mlp_tables(ctrl_module, params, t_grid):
@@ -91,8 +95,12 @@ def _fourier_mlp_tables(ctrl_module, params, t_grid):
         base = base.base_model
     if type(base) is not FourierMLP:
         return None
-    if base.use_angle_encoding or base.compute_dtype is not None:
+    if base.use_angle_encoding:
         return None
+    if base.compute_dtype is not None and base.compute_dtype != jnp.bfloat16:
+        return None
+    bf16 = base.compute_dtype == jnp.bfloat16
+    mm_dt = jnp.bfloat16 if bf16 else jnp.float32
     if base.dim_out is not None and base.dim_out != base.dim:
         return None
     p = params.get("params", params)
@@ -103,23 +111,24 @@ def _fourier_mlp_tables(ctrl_module, params, t_grid):
     if any(n not in p for n in names) or "TimeEmbed_0" not in p:
         return None
     embed_mod = TimeEmbed(dim_out=base.channels, channels=base.channels,
-                          activation=base.activation)
+                          activation=base.activation,
+                          compute_dtype=base.compute_dtype)
     embed = embed_mod.apply({"params": p["TimeEmbed_0"]}, t_grid)
-    embed = jnp.asarray(embed, jnp.float32)  # (K, H)
-    w0 = p["Dense_0"]["kernel"].astype(jnp.float32)         # (D, H)
-    b0 = p["Dense_0"]["bias"].astype(jnp.float32)[None, :]  # (1, H)
+    embed = jnp.asarray(embed, mm_dt)  # (K, H)
+    w0 = p["Dense_0"]["kernel"].astype(mm_dt)         # (D, H)
+    b0 = p["Dense_0"]["bias"].astype(mm_dt)[None, :]  # (1, H)
     hidden = [p[f"Dense_{i}"] for i in range(1, n_dense - 1)]
     # n_hidden = 0: ship one zero dummy layer so array shapes match the
     # (max(n_h, 1), ...) BlockSpecs; the kernel's static loop never reads it
-    wh = (jnp.stack([h["kernel"] for h in hidden]).astype(jnp.float32)
-          if hidden else jnp.zeros((1, base.channels, base.channels), jnp.float32))
-    bh = (jnp.stack([h["bias"][None, :] for h in hidden]).astype(jnp.float32)
-          if hidden else jnp.zeros((1, 1, base.channels), jnp.float32))
-    w_out = p[names[-1]]["kernel"].astype(jnp.float32)          # (H, D)
-    b_out = p[names[-1]]["bias"].astype(jnp.float32)[None, :]   # (1, D)
+    wh = (jnp.stack([h["kernel"] for h in hidden]).astype(mm_dt)
+          if hidden else jnp.zeros((1, base.channels, base.channels), mm_dt))
+    bh = (jnp.stack([h["bias"][None, :] for h in hidden]).astype(mm_dt)
+          if hidden else jnp.zeros((1, 1, base.channels), mm_dt))
+    w_out = p[names[-1]]["kernel"].astype(mm_dt)          # (H, D)
+    b_out = p[names[-1]]["bias"].astype(mm_dt)[None, :]   # (1, D)
     fields = dict(dim=base.dim, channels=base.channels,
                   n_hidden=len(hidden), clip=clip,
-                  activation=base.activation)
+                  activation=base.activation, bf16=bf16)
     arrays = dict(embed=embed, w0=w0, b0=b0, wh=wh, bh=bh,
                   w_out=w_out, b_out=b_out)
     return fields, arrays
@@ -305,14 +314,18 @@ def _traj_kernel(cfg: FusedTrajCfg, use_noise_input: bool, return_traj: bool,
         if return_traj:  # pre-step state x_k (the flat LV path's input)
             xs_out_ref[pl.ds(k, 1), :, :] = x.reshape(1, b_t, d)
         # ---- control u = clip(FourierMLP(t_k, x)) ------------------------
+        # cfg.bf16: matmuls/activations in bfloat16 (compute_dtype
+        # semantics); u is cast back to f32 before the state/RND math
+        mm_dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
         e = embed_ref[pl.ds(k, 1), :]                              # (1, H)
-        h = jnp.dot(x, w0_ref[:],
-                    preferred_element_type=jnp.float32) + b0_ref[:] + e
+        h = jnp.dot(x.astype(mm_dt), w0_ref[:],
+                    preferred_element_type=mm_dt) + b0_ref[:] + e
         for i in range(cfg.n_hidden):
             h = jnp.dot(act(h), wh_ref[i],
-                        preferred_element_type=jnp.float32) + bh_ref[i]
+                        preferred_element_type=mm_dt) + bh_ref[i]
         u = jnp.dot(act(h), wout_ref[:],
-                    preferred_element_type=jnp.float32) + bout_ref[:]
+                    preferred_element_type=mm_dt) + bout_ref[:]
+        u = u.astype(jnp.float32)
         if cfg.clip is not None:
             u = jnp.clip(u, -cfg.clip, cfg.clip)
         # ---- reference score of the noised (diag / eigen-full) MoG -------

@@ -29,10 +29,11 @@ def _full_covs(n, seed):
 
 
 def _setup(loss_cls, ref_kind="gmm", clip=1e4, num_layers=4,
-           method="kl", **loss_kw):
+           method="kl", compute_dtype=None, **loss_kw):
     key = jax.random.PRNGKey(0)
     sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
-    base = FourierMLP(dim=DIM, num_layers=num_layers)
+    base = FourierMLP(dim=DIM, num_layers=num_layers,
+                      compute_dtype=compute_dtype)
     ctrl = ClippedCtrl(base_model=base, clip_model=clip) if clip else base
     params = ctrl.init(key, jnp.zeros(()), jnp.zeros((1, DIM)))
     # non-degenerate control output: zero_init=False default gives random
@@ -128,6 +129,16 @@ def test_build_plan_rejects_unsupported():
     # non-tabulated callable reference
     loss.reference_ctrl = lambda t, x: -x
     assert build_plan(loss, ctrl, params, ts) is None
+
+
+def test_fused_bf16_matches_scan():
+    """compute_dtype=bfloat16 controls: the fused kernel mirrors the flax
+    Dense bf16 semantics (weights/activations bf16, f32 output) — parity
+    with the scan path at bf16 tolerance under common noise."""
+    (x_f, r_f), (x_s, r_s) = _run_both(
+        *_setup(EIReferenceSDELoss, compute_dtype=jnp.bfloat16))
+    np.testing.assert_allclose(x_f, x_s, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(r_f, r_s, rtol=2e-2, atol=5e-2)
 
 
 @pytest.mark.parametrize("ref_kind", ["gmm_full", "gauss_full"])
