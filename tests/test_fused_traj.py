@@ -131,6 +131,7 @@ def test_build_plan_rejects_unsupported():
     assert build_plan(loss, ctrl, params, ts) is None
 
 
+@pytest.mark.slow
 def test_fused_bf16_matches_scan():
     """compute_dtype=bfloat16 controls: the fused kernel mirrors the flax
     Dense bf16 semantics (weights/activations bf16, f32 output) — parity
@@ -141,7 +142,10 @@ def test_fused_bf16_matches_scan():
     np.testing.assert_allclose(r_f, r_s, rtol=2e-2, atol=5e-2)
 
 
-@pytest.mark.parametrize("ref_kind", ["gmm_full", "gauss_full"])
+@pytest.mark.parametrize("ref_kind", [
+    "gmm_full",
+    pytest.param("gauss_full", marks=pytest.mark.slow),
+])
 def test_fused_full_cov_matches_scan(ref_kind):
     """Eigendecomposed full-covariance references: fused kernel == scan under
     common noise (the φ⁴/logreg experiment configuration,
@@ -225,7 +229,8 @@ def test_fused_eval_sampler_wiring():
 @pytest.mark.parametrize("loss_cls,kw", [
     (EIReferenceSDELoss, {}),
     pytest.param(DDPMLikeReferenceSDELoss, {}, marks=pytest.mark.slow),
-    (EMReferenceSDELoss, {"use_rescaling": True}),
+    pytest.param(EMReferenceSDELoss, {"use_rescaling": True},
+                 marks=pytest.mark.slow),
     pytest.param(EMReferenceSDELoss, {"use_rescaling": False},
                  marks=pytest.mark.slow),
 ])
