@@ -118,6 +118,12 @@ class BaseOCLoss:
             sde_ctrl = jnp.where(mask, jnp.broadcast_to(replacement, sde_ctrl.shape), sde_ctrl)
         return sde_ctrl
 
+    def supports_flat_lv(self, ts, call_args: frozenset) -> bool:
+        """Whether ``lv_flat_call`` (the flat LV training restructuring —
+        gradient-free simulation + one batched control evaluation) covers
+        this loss with the solver's call-arg set. Default: no."""
+        return False
+
     @staticmethod
     def running_cost(u: jnp.ndarray, sde_ctrl: jnp.ndarray, detached: bool) -> jnp.ndarray:
         """Per-step quadratic cost summed over dims: KL = ½‖u‖²,

@@ -28,18 +28,22 @@ class ControlledLangevinSDELoss(BaseOCLoss):
 
     def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
                  initial_log_prob=None, train: bool = True,
-                 change_sde_ctrl: bool = False, return_traj: bool = False):
+                 change_sde_ctrl: bool = False, return_traj: bool = False,
+                 noise: jnp.ndarray | None = None):
         sde_diff = self.sde.diff_coeff  # constant volatility by construction
 
         def body(carry, st):
             x, rnd, k = carry
+            if noise is not None:
+                *st, z_in = st
             s, t, dt, sqdt = st
             k, k_db, k_ctrl = jax.random.split(k, 3)
             u_s = ctrl(s, x)
             sde_ctrl = self._sde_ctrl(u_s, k_ctrl, s, x) if change_sde_ctrl else u_s
             u_s = self._rescale(u_s, sde_diff)
             sde_ctrl = self._rescale(sde_ctrl, sde_diff)
-            db = sqdt * jax.random.normal(k_db, x.shape)
+            db = sqdt * (z_in if noise is not None
+                         else jax.random.normal(k_db, x.shape))
             drift_s = self.sde.drift(s, x)
             y = x + (drift_s + sde_ctrl * sde_diff) * dt + sde_diff * db
             drift_t = self.sde.drift(t, y)
@@ -56,6 +60,8 @@ class ControlledLangevinSDELoss(BaseOCLoss):
             rnd0 = initial_log_prob(x)
         dt_arr = ts[1:] - ts[:-1]
         xs_in = (ts[:-1], ts[1:], dt_arr, jnp.sqrt(dt_arr))
+        if noise is not None:
+            xs_in = (*xs_in, noise)
         (x_T, rnd, _), traj = self._scan(body, (x, rnd0, key), xs_in)
         rnd = rnd - terminal_unnorm_log_prob(x_T)
         xs = jnp.concatenate([x[None], traj], axis=0) if return_traj else None
@@ -68,6 +74,55 @@ class ControlledLangevinSDELoss(BaseOCLoss):
             initial_log_prob=initial_log_prob, train=True,
             change_sde_ctrl=self.is_lv, return_traj=False)
         return self.reduce(rnd, samples=samples)
+
+    # -- flat LV training path ---------------------------------------------
+    def supports_flat_lv(self, ts, call_args: frozenset) -> bool:
+        # LV's rnd0 = initial_log_prob(x0), so both args must be wired
+        return call_args == frozenset({"terminal_unnorm_log_prob",
+                                       "initial_log_prob"})
+
+    def lv_flat_call(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                     initial_log_prob=None, traj_fn=None):
+        """LV training as gradient-free simulation + flat batched cost.
+
+        The LV simulation control is detached, so the trajectory x_0..x_T
+        carries no parameter gradient — only the per-step cost does, and
+        CMCD's cost evaluates the control at BOTH step endpoints
+        (losses/oc.py:714-742), i.e. at the K+1 states x_0..x_T. This
+        method simulates under stop_gradient and differentiates ONE batched
+        control evaluation over all (K+1)·B states: same value and gradient
+        as ``__call__`` under common noise (tests/test_fused_traj.py), with
+        half the control evaluations (the scan computes u(t, x_{k+1}) again
+        as u(s, x_{k+1}) in step k+1) and no backprop-through-scan.
+        ``traj_fn`` is accepted for solver-interface parity but unused —
+        the fused Pallas kernel does not cover the Langevin step."""
+        del traj_fn
+        if not self.is_lv or self.sde_ctrl_noise is not None \
+                or self.sde_ctrl_dropout is not None:
+            raise ValueError("lv_flat_call requires a plain LV loss "
+                             "(no sde_ctrl noise/dropout hooks)")
+        x = self.repeat_traj(x)
+        k_z, k_sim = jax.random.split(key)
+        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        _, _, xs_all = self.simulate(
+            k_sim, ts, x, ctrl, terminal_unnorm_log_prob,
+            initial_log_prob=initial_log_prob, train=True,
+            change_sde_ctrl=True, return_traj=True, noise=zs)
+        xs_all = jax.lax.stop_gradient(xs_all)                 # (K+1, B, D)
+        sde_diff = self.sde.diff_coeff
+        dt = (ts[1:] - ts[:-1])[:, None]                       # (K, 1)
+        db = jnp.sqrt(dt)[..., None] * zs                      # (K, B, D)
+        u_all = self._rescale(jax.vmap(ctrl)(ts, xs_all), sde_diff)
+        drift_all = jax.vmap(self.sde.drift)(ts, xs_all)
+        u_s, u_t = u_all[:-1], u_all[1:]
+        cost = (drift_all[:-1] + drift_all[1:]) / sde_diff + u_s - u_t
+        u_bar = jax.lax.stop_gradient(u_s)
+        steps = (0.5 * jnp.sum(cost**2, axis=-1) * dt
+                 + jnp.sum(cost * (u_bar - u_s), axis=-1) * dt
+                 + jnp.sum(cost * db, axis=-1))                # (K, B)
+        rnd = initial_log_prob(xs_all[0]) + jnp.sum(steps, axis=0) \
+            - terminal_unnorm_log_prob(xs_all[-1])
+        return self.reduce(rnd, samples=xs_all[-1])
 
     def eval(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None,
              compute_weights: bool = True, return_traj: bool = True):

@@ -99,6 +99,11 @@ class EMReferenceSDELoss(BaseOCLoss):
         return self.reduce(rnd, samples=samples)
 
     # -- flat LV training path ---------------------------------------------
+    def supports_flat_lv(self, ts, call_args: frozenset) -> bool:
+        return (call_args == frozenset({"terminal_unnorm_log_prob",
+                                        "reference_log_prob"})
+                and self._flat_grids(ts) is not None)
+
     def _flat_grids(self, ts):
         """(c_cost, c_dot, u_scale) per step for ``lv_flat_call``: the RND is
         Σ_k c_cost·cost(u_scale·u_k) + c_dot·(u_scale·u_k)·z_k."""

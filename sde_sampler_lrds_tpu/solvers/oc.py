@@ -92,9 +92,10 @@ class TrainableDiff(Trainable):
         return loss, metrics
 
     def _flat_lv_ok(self) -> bool:
-        """Flat LV training path eligibility (losses/rds.py lv_flat_call):
+        """Flat LV training path eligibility (lv_flat_call on the loss):
         gradient-identical restructuring that removes backprop-through-scan.
-        ``TrainConfig.flat_lv='off'`` forces the reference-shaped scan."""
+        ``TrainConfig.flat_lv='off'`` forces the reference-shaped scan;
+        otherwise the loss decides (losses/base.py supports_flat_lv)."""
         if getattr(self.cfg, "flat_lv", "auto") == "off":
             return False
         loss = self.loss
@@ -102,9 +103,8 @@ class TrainableDiff(Trainable):
                 and loss.is_lv
                 and loss.sde_ctrl_noise is None
                 and loss.sde_ctrl_dropout is None
-                and set(self.loss_call_args())
-                == {"terminal_unnorm_log_prob", "reference_log_prob"}
-                and loss._flat_grids(self.train_ts) is not None)
+                and loss.supports_flat_lv(self.train_ts,
+                                          frozenset(self.loss_call_args())))
 
     def _flat_traj_fn(self, params):
         """Fused-Pallas simulation for the flat LV path when the config is
