@@ -33,21 +33,26 @@ class DiscreteTimeReversalLossEI(BaseOCLoss):
 
     def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
                  initial_log_prob=None, train: bool = True,
-                 change_sde_ctrl: bool = False, return_traj: bool = False):
+                 change_sde_ctrl: bool = False, return_traj: bool = False,
+                 noise: jnp.ndarray | None = None):
         T = ts[-1]
         s_arr, t_arr = ts[:-1], ts[1:]
         omega = self.sde.omega(s_arr, t_arr)
         a_x, a_s, a_z = self.sde.ei_step_coeffs(s_arr, t_arr)
         xs_in = (T - s_arr, omega, jnp.sqrt(omega), a_x, a_s, a_z)
+        if noise is not None:
+            xs_in = (*xs_in, noise)
 
         def body(carry, inp):
             x, rnd, k = carry
+            if noise is not None:
+                *inp, z_in = inp
             tc, om, sq_om, a_x, a_s, a_z = inp
             k, k_z, k_ctrl = jax.random.split(k, 3)
             u = ctrl(tc, x)
             sde_ctrl = self._sde_ctrl(u, k_ctrl, tc, x) if change_sde_ctrl else u
             rnd = rnd + om * self.running_cost(u, sde_ctrl, change_sde_ctrl)
-            z = jax.random.normal(k_z, x.shape)
+            z = z_in if noise is not None else jax.random.normal(k_z, x.shape)
             x_new = a_x * x + a_s * sde_ctrl + a_z * z
             rnd = rnd + sq_om * jnp.sum(u * z, axis=-1)
             return (x_new, rnd, k), (x_new if return_traj else None)
@@ -68,6 +73,43 @@ class DiscreteTimeReversalLossEI(BaseOCLoss):
             initial_log_prob=initial_log_prob, train=True,
             change_sde_ctrl=self.is_lv, return_traj=False)
         return self.reduce(rnd, samples=samples)
+
+    # -- flat LV training path (see losses/rds.py lv_flat_call) ------------
+    def supports_flat_lv(self, ts, call_args: frozenset) -> bool:
+        # LV's rnd0 = initial_log_prob(x0), so both args must be wired
+        return call_args == frozenset({"terminal_unnorm_log_prob",
+                                       "initial_log_prob"})
+
+    def lv_flat_call(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                     initial_log_prob=None, traj_fn=None):
+        """LV training as gradient-free simulation + flat batched cost: the
+        detached simulation control makes the trajectory parameter-free, so
+        one batched control evaluation over all K·B pre-step states carries
+        the full gradient (value- and gradient-identical to ``__call__``
+        under common noise, tests/test_fused_traj.py). ``traj_fn`` accepted
+        for solver-interface parity, unused (no fused kernel for DIS)."""
+        del traj_fn
+        if not self.is_lv or self.sde_ctrl_noise is not None \
+                or self.sde_ctrl_dropout is not None:
+            raise ValueError("lv_flat_call requires a plain LV loss "
+                             "(no sde_ctrl noise/dropout hooks)")
+        x = self.repeat_traj(x)
+        k_z, k_sim = jax.random.split(key)
+        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        _, _, xs_all = self.simulate(
+            k_sim, ts, x, ctrl, terminal_unnorm_log_prob,
+            initial_log_prob=initial_log_prob, train=True,
+            change_sde_ctrl=True, return_traj=True, noise=zs)
+        xs_all = jax.lax.stop_gradient(xs_all)                 # (K+1, B, D)
+        s_arr, t_arr = ts[:-1], ts[1:]
+        omega = self.sde.omega(s_arr, t_arr)[:, None]          # (K, 1)
+        u = jax.vmap(ctrl)(ts[-1] - s_arr, xs_all[:-1])        # (K, B, D)
+        u_bar = jax.lax.stop_gradient(u)
+        steps = (omega * jnp.sum(u * (u_bar - 0.5 * u), axis=-1)
+                 + jnp.sqrt(omega) * jnp.sum(u * zs, axis=-1))  # (K, B)
+        rnd = initial_log_prob(xs_all[0]) + jnp.sum(steps, axis=0) \
+            - terminal_unnorm_log_prob(xs_all[-1])
+        return self.reduce(rnd, samples=xs_all[-1])
 
     def eval(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None,
              compute_weights: bool = True, return_traj: bool = True):

@@ -316,6 +316,10 @@ class Bridge(TrainableDiff):
         kwargs = self.loss_call_args()
         if self.inference_ctrl_module is not None:
             kwargs["inference_ctrl"] = self.inference_ctrl_fn(params)
+        elif self._flat_lv_ok():
+            return self.loss.lv_flat_call(
+                k_sim, self.train_ts, x, self.ctrl_fn(params),
+                traj_fn=self._flat_traj_fn(params), **kwargs)
         return self.loss(k_sim, self.train_ts, x, self.ctrl_fn(params), **kwargs)
 
     def evaluate(self, key: jax.Array, use_ema: bool = True,
