@@ -160,7 +160,8 @@ class TimeReversalLoss(BaseOCLoss):
     def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
                  initial_log_prob=None, train: bool = True,
                  compute_ito_int: bool = False, change_sde_ctrl: bool = False,
-                 return_traj: bool = False, inference_ctrl: Callable | None = None):
+                 return_traj: bool = False, inference_ctrl: Callable | None = None,
+                 noise: jnp.ndarray | None = None):
         inference_ctrl = inference_ctrl if inference_ctrl is not None else self.inference_ctrl
         s_arr, t_arr = ts[:-1], ts[1:]
         dt_arr = t_arr - s_arr
@@ -172,9 +173,13 @@ class TimeReversalLoss(BaseOCLoss):
         else:
             diff_arr = drift_k_arr = div_int_arr = jnp.zeros_like(dt_arr)
         xs_in = (s_arr, dt_arr, jnp.sqrt(dt_arr), diff_arr, drift_k_arr, div_int_arr)
+        if noise is not None:
+            xs_in = (*xs_in, noise)
 
         def body(carry, inp):
             x, rnd, k = carry
+            if noise is not None:
+                *inp, z_in = inp
             s, dt, sqdt, diff, drift_k, div_int = inp
             k, k_db, k_ctrl, k_div = jax.random.split(k, 4)
             u = ctrl(s, x)
@@ -196,7 +201,8 @@ class TimeReversalLoss(BaseOCLoss):
             rnd = rnd + cost * dt
             if not train:
                 rnd = rnd - (div_int if linear else self.sde.drift_div_int(s, s + dt, x))
-            db = sqdt * jax.random.normal(k_db, x.shape)
+            db = sqdt * (z_in if noise is not None
+                         else jax.random.normal(k_db, x.shape))
             drift = (drift_k * x) if linear else self.sde.drift(s, x)
             x_new = x + (drift + sde_diff * sde_ctrl) * dt + sde_diff * db
             if compute_ito_int:
@@ -221,6 +227,43 @@ class TimeReversalLoss(BaseOCLoss):
             compute_ito_int=self.method != "kl", change_sde_ctrl=self.is_lv,
             return_traj=False, inference_ctrl=inference_ctrl)
         return self.reduce(rnd, samples=samples)
+
+    # -- flat LV training path (see losses/rds.py lv_flat_call) ------------
+    def supports_flat_lv(self, ts, call_args: frozenset) -> bool:
+        # a learned inference control adds a live divergence term along the
+        # trajectory — out of the flat restructuring's scope
+        return (self.inference_ctrl is None
+                and call_args == frozenset({"terminal_unnorm_log_prob",
+                                            "initial_log_prob"}))
+
+    def lv_flat_call(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                     initial_log_prob=None, traj_fn=None):
+        """LV training as gradient-free simulation + flat batched cost
+        (detached simulation control, so only the per-step cost
+        dt·u·(ū−½u) + √dt·u·z at frozen states carries gradient)."""
+        del traj_fn
+        if not self.is_lv or self.sde_ctrl_noise is not None \
+                or self.sde_ctrl_dropout is not None \
+                or self.inference_ctrl is not None:
+            raise ValueError("lv_flat_call requires a plain LV loss "
+                             "(no sde_ctrl hooks / inference ctrl)")
+        x = self.repeat_traj(x)
+        k_z, k_sim = jax.random.split(key)
+        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        _, _, xs_all = self.simulate(
+            k_sim, ts, x, ctrl, terminal_unnorm_log_prob,
+            initial_log_prob=initial_log_prob, train=True,
+            compute_ito_int=True, change_sde_ctrl=True, return_traj=True,
+            noise=zs)
+        xs_all = jax.lax.stop_gradient(xs_all)                 # (K+1, B, D)
+        dt = (ts[1:] - ts[:-1])[:, None]                       # (K, 1)
+        u = jax.vmap(ctrl)(ts[:-1], xs_all[:-1])               # (K, B, D)
+        u_bar = jax.lax.stop_gradient(u)
+        steps = (dt * jnp.sum(u * (u_bar - 0.5 * u), axis=-1)
+                 + jnp.sqrt(dt) * jnp.sum(u * zs, axis=-1))    # (K, B)
+        rnd = initial_log_prob(xs_all[0]) + jnp.sum(steps, axis=0) \
+            - terminal_unnorm_log_prob(xs_all[-1])
+        return self.reduce(rnd, samples=xs_all[-1])
 
     def eval(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None,
              compute_weights: bool = True, return_traj: bool = True,
