@@ -23,22 +23,27 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
 
     def simulate(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
                  reference_log_prob, compute_ito_int: bool = False,
-                 change_sde_ctrl: bool = False, return_traj: bool = False):
+                 change_sde_ctrl: bool = False, return_traj: bool = False,
+                 noise: jnp.ndarray | None = None):
         # precomputed per-step schedule (see losses/rds.py TPU note)
         s_arr, t_arr = ts[:-1], ts[1:]
         beta = jnp.clip(self.alpha * jnp.sqrt(t_arr - s_arr), 0.0, 1.0)
         alpha_k = jnp.sqrt(1.0 - beta**2)
         xs_in = (s_arr, beta, alpha_k)
+        if noise is not None:
+            xs_in = (*xs_in, noise)
 
         def body(carry, inp):
             x, rnd, k = carry
+            if noise is not None:
+                *inp, z_in = inp
             s, beta_k, alpha_k = inp
             k, k_eps, k_ctrl = jax.random.split(k, 3)
             u = ctrl(s, x)
             sde_ctrl = self._sde_ctrl(u, k_ctrl, s, x) if change_sde_ctrl else u
             cost = self.running_cost(u, sde_ctrl, change_sde_ctrl)
             rnd = rnd + beta_k**2 * self.sigma**2 * cost
-            eps = jax.random.normal(k_eps, x.shape)
+            eps = z_in if noise is not None else jax.random.normal(k_eps, x.shape)
             x_new = x * alpha_k + beta_k**2 * self.sigma**2 * sde_ctrl \
                 + self.sigma * beta_k * eps
             if compute_ito_int:
@@ -58,6 +63,41 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
             compute_ito_int=self.method != "kl", change_sde_ctrl=self.is_lv,
             return_traj=False)
         return self.reduce(rnd, samples=samples)
+
+    # -- flat LV training path (see losses/rds.py lv_flat_call) ------------
+    def supports_flat_lv(self, ts, call_args: frozenset) -> bool:
+        return call_args == frozenset({"terminal_unnorm_log_prob",
+                                       "reference_log_prob"})
+
+    def lv_flat_call(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                     reference_log_prob, traj_fn=None):
+        """LV training as gradient-free simulation + flat batched cost
+        (detached simulation control; cost β²σ²·u·(ū−½u) + σβ·u·ε at
+        frozen states carries the full gradient)."""
+        del traj_fn
+        if not self.is_lv or self.sde_ctrl_noise is not None \
+                or self.sde_ctrl_dropout is not None:
+            raise ValueError("lv_flat_call requires a plain LV loss "
+                             "(no sde_ctrl noise/dropout hooks)")
+        x = self.repeat_traj(x)
+        k_z, k_sim = jax.random.split(key)
+        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        _, _, xs_all = self.simulate(
+            k_sim, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob,
+            compute_ito_int=True, change_sde_ctrl=True, return_traj=True,
+            noise=zs)
+        xs_all = jax.lax.stop_gradient(xs_all)                 # (K+1, B, D)
+        s_arr, t_arr = ts[:-1], ts[1:]
+        beta = jnp.clip(self.alpha * jnp.sqrt(t_arr - s_arr),
+                        0.0, 1.0)[:, None]                     # (K, 1)
+        u = jax.vmap(ctrl)(s_arr, xs_all[:-1])                 # (K, B, D)
+        u_bar = jax.lax.stop_gradient(u)
+        steps = (beta**2 * self.sigma**2
+                 * jnp.sum(u * (u_bar - 0.5 * u), axis=-1)
+                 + self.sigma * beta * jnp.sum(u * zs, axis=-1))
+        rnd = (jnp.sum(steps, axis=0) + reference_log_prob(xs_all[-1])
+               - terminal_unnorm_log_prob(xs_all[-1]))
+        return self.reduce(rnd, samples=xs_all[-1])
 
     def eval(self, key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob,
              compute_weights: bool = True, return_traj: bool = True):

@@ -444,6 +444,46 @@ def test_dis_orig_lv_flat_matches_scan_value_and_grad():
         np.testing.assert_allclose(gf, gs, rtol=1e-3, atol=5e-3)
 
 
+@pytest.mark.slow
+def test_dds_lv_flat_matches_scan_value_and_grad():
+    """DDS (ExponentialIntegratorSDELoss): lv_flat_call == simulate+reduce
+    in value AND parameter gradient under common noise."""
+    from sde_sampler_lrds_tpu.losses.dds import ExponentialIntegratorSDELoss
+
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ctrl = ClippedCtrl(base_model=FourierMLP(dim=DIM), clip_model=1e4)
+    params = ctrl.init(jax.random.PRNGKey(0), jnp.zeros(()),
+                       jnp.zeros((1, DIM)))
+    loss = ExponentialIntegratorSDELoss(sde=sde, method="lv", alpha=0.7,
+                                        sigma=1.1, max_rnd=1e8)
+    ts = get_timesteps(0.0, 1.0, steps=K)
+    key = jax.random.PRNGKey(71)
+    x0 = jax.random.normal(jax.random.PRNGKey(72), (BATCH, DIM))
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    ref_lp = lambda x: -0.6 * jnp.sum((x - 0.1) ** 2, axis=-1)
+    k_z, _ = jax.random.split(key)
+    zs = jax.random.normal(k_z, (K, BATCH, DIM))
+
+    def loss_scan(p):
+        cf = lambda t, x: ctrl.apply(p, t, x)
+        x_t, rnd, _ = loss.simulate(jax.random.PRNGKey(0), ts, x0, cf, term,
+                                    ref_lp, compute_ito_int=True,
+                                    change_sde_ctrl=True, noise=zs)
+        return loss.reduce(rnd, samples=x_t)[0]
+
+    def loss_flat(p):
+        cf = lambda t, x: ctrl.apply(p, t, x)
+        return loss.lv_flat_call(key, ts, x0, cf, term, ref_lp)[0]
+
+    v_scan, g_scan = jax.value_and_grad(loss_scan)(params)
+    v_flat, g_flat = jax.value_and_grad(loss_flat)(params)
+    np.testing.assert_allclose(v_flat, v_scan, rtol=1e-5, atol=1e-6)
+    scan_leaves = jax.tree.leaves(g_scan)
+    assert any(float(jnp.abs(l).max()) > 0 for l in scan_leaves)
+    for gf, gs in zip(jax.tree.leaves(g_flat), scan_leaves):
+        np.testing.assert_allclose(gf, gs, rtol=1e-3, atol=5e-3)
+
+
 def test_fused_traj_states_matches_scan():
     """fused_traj_states (the flat path's Pallas forward) reproduces the
     scan's pre-step states and terminal sample under common noise."""
