@@ -118,12 +118,27 @@ def main(bf16: bool = False):
     solver.setup()
 
     # ---- train 256 steps (32 optimizer steps fused per call) -------------
+    # flat_lv='auto' trains through the flat LV path (fused Pallas
+    # simulation); if that ever fails to compile on this backend, fall back
+    # to the reference-shaped scan rather than losing the bench artifact.
     key = jax.random.PRNGKey(0)
     t_train = time.time()
-    for _ in range(cfg.train_steps // cfg.steps_per_call):
-        key, sub = jax.random.split(key)
-        metrics = solver.step(sub)
-    jax.block_until_ready(solver.state.params)
+    try:
+        for _ in range(cfg.train_steps // cfg.steps_per_call):
+            key, sub = jax.random.split(key)
+            metrics = solver.step(sub)
+        jax.block_until_ready(solver.state.params)
+    except Exception as e:  # pragma: no cover - backend capability gate
+        print(f"flat-LV train path failed ({e!r}); retrying with the scan",
+              file=sys.stderr)
+        cfg.flat_lv = "off"
+        solver.setup()
+        key = jax.random.PRNGKey(0)
+        t_train = time.time()
+        for _ in range(cfg.train_steps // cfg.steps_per_call):
+            key, sub = jax.random.split(key)
+            metrics = solver.step(sub)
+        jax.block_until_ready(solver.state.params)
     train_time = time.time() - t_train
     train_loss = float(metrics["train/loss"])
 

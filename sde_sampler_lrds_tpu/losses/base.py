@@ -23,6 +23,23 @@ import jax.numpy as jnp
 from ..utils.common import Results, masked_mean, masked_var
 
 
+def flat_ctrl_eval(ctrl: Callable, t_grid: jnp.ndarray, xs: jnp.ndarray,
+                   max_flat: int = 4_000_000) -> jnp.ndarray:
+    """Batched control evaluation over per-step states for the flat LV
+    path: u[k] = ctrl(t_grid[k], xs[k]) for xs (K, B, ...).
+
+    Small problems run as one vmapped mega-batch (best MXU utilization).
+    Past ``max_flat`` state elements, the time axis is chunked through a
+    remat'd ``lax.map`` so the backward pass stores only the control
+    OUTPUTS (K·B·D) and recomputes layer activations per chunk — the
+    difference between ~20 MB and multiple GB of stored activations for
+    the MNIST UNet at K=100, B=256."""
+    if xs.size <= max_flat:
+        return jax.vmap(lambda t, x: ctrl(t, x))(t_grid, xs)
+    f = jax.checkpoint(lambda args: ctrl(args[0], args[1]))
+    return jax.lax.map(f, (t_grid, xs), batch_size=16)
+
+
 def compute_results(rnd: jnp.ndarray, compute_weights: bool = False,
                     ts=None, samples=None, xs=None,
                     max_rnd: float | None = None) -> Results:

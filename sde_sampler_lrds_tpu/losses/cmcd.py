@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .base import BaseOCLoss, compute_results
+from .base import BaseOCLoss, compute_results, flat_ctrl_eval
 
 
 class ControlledLangevinSDELoss(BaseOCLoss):
@@ -112,7 +112,7 @@ class ControlledLangevinSDELoss(BaseOCLoss):
         sde_diff = self.sde.diff_coeff
         dt = (ts[1:] - ts[:-1])[:, None]                       # (K, 1)
         db = jnp.sqrt(dt)[..., None] * zs                      # (K, B, D)
-        u_all = self._rescale(jax.vmap(ctrl)(ts, xs_all), sde_diff)
+        u_all = self._rescale(flat_ctrl_eval(ctrl, ts, xs_all), sde_diff)
         drift_all = jax.vmap(self.sde.drift)(ts, xs_all)
         u_s, u_t = u_all[:-1], u_all[1:]
         cost = (drift_all[:-1] + drift_all[1:]) / sde_diff + u_s - u_t

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .base import BaseOCLoss, compute_results
+from .base import BaseOCLoss, compute_results, flat_ctrl_eval
 
 
 class ExponentialIntegratorSDELoss(BaseOCLoss):
@@ -90,7 +90,7 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
         s_arr, t_arr = ts[:-1], ts[1:]
         beta = jnp.clip(self.alpha * jnp.sqrt(t_arr - s_arr),
                         0.0, 1.0)[:, None]                     # (K, 1)
-        u = jax.vmap(ctrl)(s_arr, xs_all[:-1])                 # (K, B, D)
+        u = flat_ctrl_eval(ctrl, s_arr, xs_all[:-1])           # (K, B, D)
         u_bar = jax.lax.stop_gradient(u)
         steps = (beta**2 * self.sigma**2
                  * jnp.sum(u * (u_bar - 0.5 * u), axis=-1)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.autograd import compute_divx
-from .base import BaseOCLoss, compute_results
+from .base import BaseOCLoss, compute_results, flat_ctrl_eval
 
 
 class DiscreteTimeReversalLossEI(BaseOCLoss):
@@ -103,7 +103,7 @@ class DiscreteTimeReversalLossEI(BaseOCLoss):
         xs_all = jax.lax.stop_gradient(xs_all)                 # (K+1, B, D)
         s_arr, t_arr = ts[:-1], ts[1:]
         omega = self.sde.omega(s_arr, t_arr)[:, None]          # (K, 1)
-        u = jax.vmap(ctrl)(ts[-1] - s_arr, xs_all[:-1])        # (K, B, D)
+        u = flat_ctrl_eval(ctrl, ts[-1] - s_arr, xs_all[:-1])  # (K, B, D)
         u_bar = jax.lax.stop_gradient(u)
         steps = (omega * jnp.sum(u * (u_bar - 0.5 * u), axis=-1)
                  + jnp.sqrt(omega) * jnp.sum(u * zs, axis=-1))  # (K, B)
@@ -257,7 +257,7 @@ class TimeReversalLoss(BaseOCLoss):
             noise=zs)
         xs_all = jax.lax.stop_gradient(xs_all)                 # (K+1, B, D)
         dt = (ts[1:] - ts[:-1])[:, None]                       # (K, 1)
-        u = jax.vmap(ctrl)(ts[:-1], xs_all[:-1])               # (K, B, D)
+        u = flat_ctrl_eval(ctrl, ts[:-1], xs_all[:-1])         # (K, B, D)
         u_bar = jax.lax.stop_gradient(u)
         steps = (dt * jnp.sum(u * (u_bar - 0.5 * u), axis=-1)
                  + jnp.sqrt(dt) * jnp.sum(u * zs, axis=-1))    # (K, B)

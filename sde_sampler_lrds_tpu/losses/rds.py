@@ -24,7 +24,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from .base import BaseOCLoss, compute_results
+from .base import BaseOCLoss, compute_results, flat_ctrl_eval
 
 
 class EMReferenceSDELoss(BaseOCLoss):
@@ -151,7 +151,7 @@ class EMReferenceSDELoss(BaseOCLoss):
             xs = xs_all[:-1]
         xs = jax.lax.stop_gradient(xs)
         x_t = jax.lax.stop_gradient(x_t)
-        u = jax.vmap(ctrl)(ts[-1] - ts[:-1], xs) * u_scale[:, None, None]
+        u = flat_ctrl_eval(ctrl, ts[-1] - ts[:-1], xs) * u_scale[:, None, None]
         u_bar = jax.lax.stop_gradient(u)
         cost = jnp.sum(u * (u_bar - 0.5 * u), axis=-1)            # (K, B)
         ito = jnp.sum(u * zs, axis=-1)                            # (K, B)

@@ -484,6 +484,28 @@ def test_dds_lv_flat_matches_scan_value_and_grad():
         np.testing.assert_allclose(gf, gs, rtol=1e-3, atol=5e-3)
 
 
+def test_flat_ctrl_eval_chunked_matches_vmap():
+    """flat_ctrl_eval's remat'd lax.map branch == the vmapped mega-batch in
+    value and gradient (the memory-bounded path the MNIST UNet takes)."""
+    from sde_sampler_lrds_tpu.losses.base import flat_ctrl_eval
+
+    ctrl_mod = FourierMLP(dim=DIM)
+    params = ctrl_mod.init(jax.random.PRNGKey(0), jnp.zeros(()),
+                           jnp.zeros((1, DIM)))
+    t_grid = jnp.linspace(0.1, 0.9, K)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (K, BATCH, DIM))
+
+    def total(p, max_flat):
+        cf = lambda t, x: ctrl_mod.apply(p, t, x)
+        return jnp.sum(flat_ctrl_eval(cf, t_grid, xs, max_flat=max_flat)**2)
+
+    v_big, g_big = jax.value_and_grad(lambda p: total(p, 10**9))(params)
+    v_chk, g_chk = jax.value_and_grad(lambda p: total(p, 1))(params)
+    np.testing.assert_allclose(v_chk, v_big, rtol=1e-5)
+    for ga, gb in zip(jax.tree.leaves(g_chk), jax.tree.leaves(g_big)):
+        np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_traj_states_matches_scan():
     """fused_traj_states (the flat path's Pallas forward) reproduces the
     scan's pre-step states and terminal sample under common noise."""
