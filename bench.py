@@ -121,25 +121,23 @@ def main(bf16: bool = False):
     # flat_lv='auto' trains through the flat LV path (fused Pallas
     # simulation); if that ever fails to compile on this backend, fall back
     # to the reference-shaped scan rather than losing the bench artifact.
-    key = jax.random.PRNGKey(0)
-    t_train = time.time()
-    try:
+    def run_train():
+        key = jax.random.PRNGKey(0)
+        t0 = time.time()
         for _ in range(cfg.train_steps // cfg.steps_per_call):
             key, sub = jax.random.split(key)
             metrics = solver.step(sub)
         jax.block_until_ready(solver.state.params)
+        return metrics, time.time() - t0
+
+    try:
+        metrics, train_time = run_train()
     except Exception as e:  # pragma: no cover - backend capability gate
         print(f"flat-LV train path failed ({e!r}); retrying with the scan",
               file=sys.stderr)
         cfg.flat_lv = "off"
         solver.setup()
-        key = jax.random.PRNGKey(0)
-        t_train = time.time()
-        for _ in range(cfg.train_steps // cfg.steps_per_call):
-            key, sub = jax.random.split(key)
-            metrics = solver.step(sub)
-        jax.block_until_ready(solver.state.params)
-    train_time = time.time() - t_train
+        metrics, train_time = run_train()
     train_loss = float(metrics["train/loss"])
 
     # ---- timed eval sampling (8192 x 100 steps) -------------------------

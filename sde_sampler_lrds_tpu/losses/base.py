@@ -141,6 +141,20 @@ class BaseOCLoss:
         this loss with the solver's call-arg set. Default: no."""
         return False
 
+    def _flat_lv_setup(self, key, ts, x):
+        """Shared lv_flat_call preamble: guard (plain LV only — the
+        noise/dropout hooks inject live randomness the flat cost math
+        assumes absent), trajectory repetition, and the per-step noise
+        every family's detached simulation consumes."""
+        if not self.is_lv or self.sde_ctrl_noise is not None \
+                or self.sde_ctrl_dropout is not None:
+            raise ValueError("lv_flat_call requires a plain LV loss "
+                             "(no sde_ctrl noise/dropout hooks)")
+        x = self.repeat_traj(x)
+        k_z, k_sim = jax.random.split(key)
+        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        return x, k_sim, zs
+
     @staticmethod
     def running_cost(u: jnp.ndarray, sde_ctrl: jnp.ndarray, detached: bool) -> jnp.ndarray:
         """Per-step quadratic cost summed over dims: KL = ½‖u‖²,

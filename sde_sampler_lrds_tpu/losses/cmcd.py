@@ -97,13 +97,7 @@ class ControlledLangevinSDELoss(BaseOCLoss):
         ``traj_fn`` is accepted for solver-interface parity but unused —
         the fused Pallas kernel does not cover the Langevin step."""
         del traj_fn
-        if not self.is_lv or self.sde_ctrl_noise is not None \
-                or self.sde_ctrl_dropout is not None:
-            raise ValueError("lv_flat_call requires a plain LV loss "
-                             "(no sde_ctrl noise/dropout hooks)")
-        x = self.repeat_traj(x)
-        k_z, k_sim = jax.random.split(key)
-        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        x, k_sim, zs = self._flat_lv_setup(key, ts, x)
         _, _, xs_all = self.simulate(
             k_sim, ts, x, ctrl, terminal_unnorm_log_prob,
             initial_log_prob=initial_log_prob, train=True,

@@ -75,16 +75,10 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
         (detached simulation control; cost β²σ²·u·(ū−½u) + σβ·u·ε at
         frozen states carries the full gradient)."""
         del traj_fn
-        if not self.is_lv or self.sde_ctrl_noise is not None \
-                or self.sde_ctrl_dropout is not None:
-            raise ValueError("lv_flat_call requires a plain LV loss "
-                             "(no sde_ctrl noise/dropout hooks)")
-        x = self.repeat_traj(x)
-        k_z, k_sim = jax.random.split(key)
-        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        x, k_sim, zs = self._flat_lv_setup(key, ts, x)
         _, _, xs_all = self.simulate(
             k_sim, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob,
-            compute_ito_int=True, change_sde_ctrl=True, return_traj=True,
+            compute_ito_int=False, change_sde_ctrl=True, return_traj=True,
             noise=zs)
         xs_all = jax.lax.stop_gradient(xs_all)                 # (K+1, B, D)
         s_arr, t_arr = ts[:-1], ts[1:]

@@ -89,13 +89,7 @@ class DiscreteTimeReversalLossEI(BaseOCLoss):
         under common noise, tests/test_fused_traj.py). ``traj_fn`` accepted
         for solver-interface parity, unused (no fused kernel for DIS)."""
         del traj_fn
-        if not self.is_lv or self.sde_ctrl_noise is not None \
-                or self.sde_ctrl_dropout is not None:
-            raise ValueError("lv_flat_call requires a plain LV loss "
-                             "(no sde_ctrl noise/dropout hooks)")
-        x = self.repeat_traj(x)
-        k_z, k_sim = jax.random.split(key)
-        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        x, k_sim, zs = self._flat_lv_setup(key, ts, x)
         _, _, xs_all = self.simulate(
             k_sim, ts, x, ctrl, terminal_unnorm_log_prob,
             initial_log_prob=initial_log_prob, train=True,
@@ -242,18 +236,14 @@ class TimeReversalLoss(BaseOCLoss):
         (detached simulation control, so only the per-step cost
         dt·u·(ū−½u) + √dt·u·z at frozen states carries gradient)."""
         del traj_fn
-        if not self.is_lv or self.sde_ctrl_noise is not None \
-                or self.sde_ctrl_dropout is not None \
-                or self.inference_ctrl is not None:
-            raise ValueError("lv_flat_call requires a plain LV loss "
-                             "(no sde_ctrl hooks / inference ctrl)")
-        x = self.repeat_traj(x)
-        k_z, k_sim = jax.random.split(key)
-        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        if self.inference_ctrl is not None:
+            raise ValueError("lv_flat_call does not support a learned "
+                             "inference control (live divergence term)")
+        x, k_sim, zs = self._flat_lv_setup(key, ts, x)
         _, _, xs_all = self.simulate(
             k_sim, ts, x, ctrl, terminal_unnorm_log_prob,
             initial_log_prob=initial_log_prob, train=True,
-            compute_ito_int=True, change_sde_ctrl=True, return_traj=True,
+            compute_ito_int=False, change_sde_ctrl=True, return_traj=True,
             noise=zs)
         xs_all = jax.lax.stop_gradient(xs_all)                 # (K+1, B, D)
         dt = (ts[1:] - ts[:-1])[:, None]                       # (K, 1)

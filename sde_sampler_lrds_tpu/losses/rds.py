@@ -130,17 +130,11 @@ class EMReferenceSDELoss(BaseOCLoss):
         ``__call__`` under common noise (tests/test_fused_traj.py), but no
         backprop-through-scan — the backward pass is a single flat MLP VJP.
         """
-        if not self.is_lv or self.sde_ctrl_noise is not None \
-                or self.sde_ctrl_dropout is not None:
-            raise ValueError("lv_flat_call requires a plain LV loss "
-                             "(no sde_ctrl noise/dropout hooks)")
         grids = self._flat_grids(ts)
         if grids is None:
             raise ValueError("the flat LV path needs a linear SDE")
         c_cost, c_dot, u_scale = grids
-        x = self.repeat_traj(x)
-        k_z, k_sim = jax.random.split(key)
-        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        x, k_sim, zs = self._flat_lv_setup(key, ts, x)
         if traj_fn is not None:
             xs, x_t = traj_fn(x, zs)
         else:

@@ -96,7 +96,11 @@ class TrainableDiff(Trainable):
         gradient-identical restructuring that removes backprop-through-scan.
         ``TrainConfig.flat_lv='off'`` forces the reference-shaped scan;
         otherwise the loss decides (losses/base.py supports_flat_lv)."""
-        if getattr(self.cfg, "flat_lv", "auto") == "off":
+        mode = getattr(self.cfg, "flat_lv", "auto")
+        if mode not in ("auto", "off"):
+            raise ValueError(f"train.flat_lv must be 'auto' or 'off', "
+                             f"got {mode!r}")
+        if mode == "off":
             return False
         loss = self.loss
         return (getattr(loss, "lv_flat_call", None) is not None
@@ -122,7 +126,10 @@ class TrainableDiff(Trainable):
         try:
             plan = build_plan(self.loss, self.generative_ctrl,
                               jax.lax.stop_gradient(params), self.train_ts)
-        except Exception:
+        except Exception:  # plan-builder crash ≠ legitimate out-of-scope
+            logging.warning("fused traj plan builder raised; training "
+                            "falls back to the scan simulation",
+                            exc_info=True)
             return None
         if plan is None:
             return None
@@ -161,8 +168,14 @@ class TrainableDiff(Trainable):
         """Fused-eval eligibility: TPU backend unless forced, batch
         divisible over the mesh (multi-device meshes run the kernel per
         shard under shard_map), and a (loss, control, reference) triple
-        inside ops/fused_traj's scope."""
+        inside ops/fused_traj's scope. The scope probe builds (and
+        discards) a plan, so the verdict is cached per mode alongside the
+        eval jits — it is structural, not value-dependent, and the cache
+        is dropped whenever the loss is rebuilt."""
         mode = getattr(self.cfg, "fused_eval", "auto")
+        if mode not in ("auto", "off", "force"):
+            raise ValueError(f"train.fused_eval must be 'auto', 'off' or "
+                             f"'force', got {mode!r}")
         if mode == "off" or self.cfg.eval_batch_size % self.mesh.size:
             return False
         if mode != "force" and jax.default_backend() != "tpu":
@@ -170,13 +183,22 @@ class TrainableDiff(Trainable):
         if set(self.loss_call_args()) != {"terminal_unnorm_log_prob",
                                           "reference_log_prob"}:
             return False
-        from ..ops.fused_traj import build_plan
+        cache = getattr(self, "_eval_jit_cache", None)
+        if cache is None:
+            cache = self._eval_jit_cache = {}
+        ok = cache.get(("fused_ok", mode))
+        if ok is None:
+            from ..ops.fused_traj import build_plan
 
-        try:
-            return build_plan(self.loss, self.generative_ctrl, params,
-                              self.eval_ts) is not None
-        except Exception:
-            return False
+            try:
+                ok = build_plan(self.loss, self.generative_ctrl, params,
+                                self.eval_ts) is not None
+            except Exception:  # crash ≠ legitimate out-of-scope
+                logging.warning("fused traj plan builder raised; eval "
+                                "falls back to the scan", exc_info=True)
+                ok = False
+            cache[("fused_ok", mode)] = ok
+        return ok
 
     def _eval_sim_fused(self, params, key, compute_weights, return_traj):
         from ..ops.fused_traj import (build_plan, fused_simulate,
@@ -323,7 +345,9 @@ class Bridge(TrainableDiff):
         return self.loss(k_sim, self.train_ts, x, self.ctrl_fn(params), **kwargs)
 
     def evaluate(self, key: jax.Array, use_ema: bool = True,
-                 compute_weights: bool = True, return_traj: bool = True) -> Results:
+                 compute_weights: bool = True, return_traj: bool = False) -> Results:
+        # return_traj defaults to False, matching TrainableDiff.evaluate
+        # (only plotting paths request trajectories)
         params = self.state.ema_params if (use_ema and self.cfg.use_ema) else self.state.params
         return self._cached_eval(params, key, compute_weights, return_traj,
                                  self._eval_sim)

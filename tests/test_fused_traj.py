@@ -629,7 +629,8 @@ def test_solver_fused_eval_routing():
     assert s._fused_eval_ok(s.state.params)
     res_f = s.evaluate(jax.random.PRNGKey(3))
     assert res_f.xs is None
-    assert ("_eval_sim_fused" in {k[2] for k in s._eval_jit_cache})
+    assert ("_eval_sim_fused" in {k[2] for k in s._eval_jit_cache
+                                  if len(k) == 3})
     s.cfg.fused_eval = "off"
     res_s = s.evaluate(jax.random.PRNGKey(3))
     # different RNG streams -> loose statistical agreement only (bit-level
