@@ -114,28 +114,28 @@ class DiscreteTimeReversalLossEI(BaseOCLoss):
                                max_rnd=self.max_rnd, samples=samples, xs=xs)
 
     def compute_eubo(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None):
-        """Reverse noising pass (losses/oc.py:980-1036)."""
+        """Reverse noising pass (losses/oc.py:980-1036). The trajectory is
+        control-free, so the K control evaluations run as one flat batched
+        pass (losses/rds.py compute_eubo rationale)."""
         T = ts[-1]
         times_s = jnp.flip(ts[:-1])
         times_t = jnp.flip(ts[1:])
         mean_f, var_f = self.sde.transition_params(T - times_t, T - times_s)
-        omega = self.sde.omega(times_s, times_t)
-        xs_in = (T - times_s, omega, jnp.sqrt(omega), mean_f, jnp.sqrt(var_f))
+        std_f = jnp.sqrt(var_f)
+        omega = self.sde.omega(times_s, times_t)[:, None]       # (K, 1)
+        zs = jax.random.normal(key, (mean_f.shape[0], *x.shape))
 
-        def body(carry, inp):
-            x, rnd, k = carry
-            tc, om, sq_om, mf, sf = inp
-            k, k_z = jax.random.split(k)
-            z = jax.random.normal(k_z, x.shape)
+        def body(x, inp):
+            mf, sf, z = inp
             x = mf * x + sf * z
-            u = ctrl(tc, x)
-            rnd = rnd - 0.5 * jnp.sum(u**2, axis=-1) * om
-            rnd = rnd - jnp.sum(u * z, axis=-1) * sq_om
-            return (x, rnd, k), None
+            return x, x
 
-        rnd0 = -terminal_unnorm_log_prob(x)
-        (x_0, rnd, _), _ = self._scan(body, (x, rnd0, key), xs_in)
-        return rnd + initial_log_prob(x_0)
+        x_0, xs = jax.lax.scan(body, x, (mean_f, std_f, zs))
+        u = flat_ctrl_eval(ctrl, T - times_s, xs)               # (K, B, D)
+        steps = (-0.5 * jnp.sum(u**2, axis=-1) * omega
+                 - jnp.sum(u * zs, axis=-1) * jnp.sqrt(omega))
+        return (-terminal_unnorm_log_prob(x) + jnp.sum(steps, axis=0)
+                + initial_log_prob(x_0))
 
 
 class TimeReversalLoss(BaseOCLoss):

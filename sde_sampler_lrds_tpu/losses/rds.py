@@ -161,9 +161,29 @@ class EMReferenceSDELoss(BaseOCLoss):
         return compute_results(rnd, compute_weights=compute_weights, ts=ts,
                                max_rnd=self.max_rnd, samples=samples, xs=xs)
 
+    def _noising_states(self, key, x, mean_f, std_f):
+        """Control-free reverse (noising) trajectory x_k = mf·x + sf·z:
+        the cheap affine scan every EUBO pass shares. Returns the post-step
+        states (K, B, D) and the noises that produced them."""
+        zs = jax.random.normal(key, (mean_f.shape[0], *x.shape))
+
+        def body(x, inp):
+            mf, sf, z = inp
+            x = mf * x + sf * z
+            return x, x
+
+        _, xs = jax.lax.scan(body, x, (mean_f, std_f, zs))
+        return xs, zs
+
     def compute_eubo(self, key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob):
         """Reverse (noising) pass from true target samples: the EUBO upper
-        bound of arXiv:2406.07423 (losses/oc.py:298-362)."""
+        bound of arXiv:2406.07423 (losses/oc.py:298-362).
+
+        The noising trajectory is control-free, so the K sequential
+        control/reference evaluations of the reference's loop are
+        restructured into ONE batched evaluation over all K·B states
+        (flat_ctrl_eval — at MNIST-UNet scale this replaces 100 sequential
+        small-batch net calls with a few large MXU-saturating ones)."""
         T = ts[-1]
         times_s = jnp.flip(ts[:-1])
         times_t = jnp.flip(ts[1:])
@@ -173,27 +193,18 @@ class EMReferenceSDELoss(BaseOCLoss):
         dt_arr = times_t - times_s
         diff_arr = self.sde.diff_coeff_t(t_ctrl)
         drift_k_arr = self.sde.drift_coeff_t(t_ctrl)
-
-        def body(carry, inp):
-            x, rnd, k = carry
-            tc, dt, mf, sf, diff, drift_k = inp
-            k, k_z = jax.random.split(k)
-            z = jax.random.normal(k_z, x.shape)
-            x = mf * x + sf * z
-            u = ctrl(tc, x)
-            ref = self.reference_ctrl(tc, x)
-            if self.use_rescaling:
-                u = u / diff
-            cost = jnp.sum(u * (ref + 0.5 * u), axis=-1)
-            rnd = rnd - cost * dt * diff**2
-            rnd = rnd + jnp.sum(u * x, axis=-1) * (1.0 / mf - 1.0 + drift_k * dt)
-            rnd = rnd - jnp.sum(u * z, axis=-1) * (sf / mf)
-            return (x, rnd, k), None
-
+        xs, zs = self._noising_states(key, x, mean_f, std_f)
+        u = flat_ctrl_eval(ctrl, t_ctrl, xs)                    # (K, B, D)
+        ref = jax.vmap(self.reference_ctrl)(t_ctrl, xs)
+        if self.use_rescaling:
+            u = u / diff_arr[:, None, None]
+        cost = jnp.sum(u * (ref + 0.5 * u), axis=-1)            # (K, B)
+        steps = (-cost * (dt_arr * diff_arr**2)[:, None]
+                 + jnp.sum(u * xs, axis=-1)
+                 * (1.0 / mean_f - 1.0 + drift_k_arr * dt_arr)[:, None]
+                 - jnp.sum(u * zs, axis=-1) * (std_f / mean_f)[:, None])
         rnd0 = reference_log_prob(x) - terminal_unnorm_log_prob(x)
-        (_, rnd, _), _ = self._scan(
-            body, (x, rnd0, key), (t_ctrl, dt_arr, mean_f, std_f, diff_arr, drift_k_arr))
-        return rnd
+        return rnd0 + jnp.sum(steps, axis=0)
 
 
 class EIReferenceSDELoss(EMReferenceSDELoss):
@@ -264,31 +275,22 @@ class EIReferenceSDELoss(EMReferenceSDELoss):
         return x_T, rnd, xs
 
     def compute_eubo(self, key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob):
-        """Reverse noising pass with ω weights (losses/oc.py:512-568)."""
+        """Reverse noising pass with ω weights (losses/oc.py:512-568),
+        flat-batched control/reference evaluation (see the EM variant)."""
         T = ts[-1]
         times_s = jnp.flip(ts[:-1])
         times_t = jnp.flip(ts[1:])
         mean_f, var_f = self.sde.transition_params(T - times_t, T - times_s)
         std_f = jnp.sqrt(var_f)
-        omega = self._omega(times_s, times_t)
-
-        def body(carry, inp):
-            x, rnd, k = carry
-            tc, om, sq_om, mf, sf = inp
-            k, k_z = jax.random.split(k)
-            z = jax.random.normal(k_z, x.shape)
-            x = mf * x + sf * z
-            u = ctrl(tc, x)
-            ref = self.reference_ctrl(tc, x)
-            rnd = rnd - jnp.sum(u * (ref + 0.5 * u), axis=-1) * om
-            rnd = rnd - jnp.sum(u * z, axis=-1) * sq_om
-            return (x, rnd, k), None
-
+        omega = self._omega(times_s, times_t)[:, None]          # (K, 1)
+        t_ctrl = T - times_s
+        xs, zs = self._noising_states(key, x, mean_f, std_f)
+        u = flat_ctrl_eval(ctrl, t_ctrl, xs)                    # (K, B, D)
+        ref = jax.vmap(self.reference_ctrl)(t_ctrl, xs)
+        steps = (-jnp.sum(u * (ref + 0.5 * u), axis=-1) * omega
+                 - jnp.sum(u * zs, axis=-1) * jnp.sqrt(omega))
         rnd0 = reference_log_prob(x) - terminal_unnorm_log_prob(x)
-        (_, rnd, _), _ = self._scan(
-            body, (x, rnd0, key),
-            (T - times_s, omega, jnp.sqrt(omega), mean_f, std_f))
-        return rnd
+        return rnd0 + jnp.sum(steps, axis=0)
 
 
 class DDPMLikeReferenceSDELoss(EIReferenceSDELoss):
