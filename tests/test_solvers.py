@@ -285,14 +285,26 @@ def test_evaluate_uses_cached_jit():
                                      "eval_batch_size": 64},
                    n_steps=8, compute_samples_based_metrics=False)
     m.setup()
+    # Count traces directly: the jitted wrapper closes over this function,
+    # so its body runs once per trace and never on a cache-hit dispatch.
+    # (Asserting on fn._cache_size() instead is flaky under a long suite:
+    # JAX's global executable cache is a bounded LRU, so entries from
+    # *this* test can be evicted by unrelated compilations.)
+    traces = []
+    orig_sim = m._eval_sim
+
+    def counting_sim(params, key, compute_weights, return_traj):
+        traces.append(1)
+        return orig_sim(params, key, compute_weights, return_traj)
+
+    m._eval_sim = counting_sim
     r1 = m.evaluate(jax.random.PRNGKey(0))
     r2 = m.evaluate(jax.random.PRNGKey(1))
     assert np.isfinite(r1.metrics["eval/elbo"])
     assert isinstance(r2.metrics["eval/elbo"], float)
     cache = m._eval_jit_cache
     assert len(cache) == 1
-    (fn,) = cache.values()
-    assert fn._cache_size() == 1  # one trace served both calls
+    assert len(traces) == 1  # one trace served both calls
     # rebuilding the loss (reference switch) must drop the stale jit
     m.change_reference_type("default")
     assert m._eval_jit_cache == {}
