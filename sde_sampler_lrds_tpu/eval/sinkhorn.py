@@ -44,7 +44,7 @@ class Sinkhorn:
             raise ValueError(f"p must be an integer greater than 0, got {p}")
         if eps <= 0:
             raise ValueError("Entropy regularization term eps must be > 0")
-        if backend not in ("xla", "native", "auto"):
+        if backend not in ("xla", "native", "auto", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         self.p = p
         self.eps = eps
@@ -52,9 +52,12 @@ class Sinkhorn:
         self.stop_thresh = stop_thresh
         self.n_max = n_max
         self.block_size = block_size
-        # 'xla' = tiled lax.map kernel (TPU default); 'native' = the
-        # JIT-built C++/OpenMP host library (eval/native, the pykeops-parity
-        # tier); 'auto' = native when it builds, else xla.
+        # 'xla' = tiled lax.map reductions; 'pallas' = the fused TPU
+        # tile kernel (ops/sinkhorn_lse: cost tile + online LSE in VMEM,
+        # the cost matrix never touches HBM; interpret-mode off-TPU);
+        # 'native' = the JIT-built C++/OpenMP host library (eval/native,
+        # the pykeops-parity tier); 'auto' = pallas on a TPU backend,
+        # else native when it builds, else xla.
         self.backend = backend
         # ε-scaling: warm-start the duals through a geometric ε schedule.
         # At ε=1e-3 in f32 the raw iteration collapses to alternating hard
@@ -96,7 +99,15 @@ class Sinkhorn:
         out = jax.lax.map(one_block, blocks).reshape(-1)
         return out[:n]
 
-    def compute(self, x, y, w_x=None, w_y=None):
+    def _lse(self, x, y, dual, eps, transpose: bool, use_pallas: bool):
+        if use_pallas:
+            from ..ops.sinkhorn_lse import pallas_lse
+
+            a, b = (x, y) if not transpose else (y, x)
+            return pallas_lse(a, b, dual, eps, p=self.p)
+        return self._blocked_lse(x, y, dual, eps, transpose)
+
+    def compute(self, x, y, w_x=None, w_y=None, use_pallas: bool = False):
         n, m = x.shape[0], y.shape[0]
         if w_x is None:
             w_x = jnp.ones((n,)) / n
@@ -127,14 +138,19 @@ class Sinkhorn:
         def body(state):
             u, v, _, it = state
             eps = eps_sched[it]
-            u_new = eps * (log_a - self._blocked_lse(x, y, v, eps, transpose=False))
-            v_new = eps * (log_b - self._blocked_lse(x, y, u_new, eps, transpose=True))
+            u_new = eps * (log_a - self._lse(x, y, v, eps, False, use_pallas))
+            v_new = eps * (log_b - self._lse(x, y, u_new, eps, True, use_pallas))
             err = jnp.maximum(jnp.max(jnp.abs(u - u_new)), jnp.max(jnp.abs(v - v_new)))
             # never stop while still annealing
             err = jnp.where(eps > self.eps, jnp.inf, err)
             return u_new, v_new, err, it + 1
 
         u, v, _, _ = jax.lax.while_loop(cond, body, (u0, v0, jnp.inf, 0))
+
+        if use_pallas:
+            from ..ops.sinkhorn_lse import pallas_transport_cost
+
+            return pallas_transport_cost(x, y, u, v, self.eps, p=self.p)
 
         # distance = sum_ij P_ij M_ij, accumulated blockwise
         bs = min(self.block_size, n)
@@ -177,6 +193,14 @@ class Sinkhorn:
                 w_x = w_x[: self.n_max]
             if w_y is not None:
                 w_y = w_y[: self.n_max]
+        on_tpu = jax.default_backend() == "tpu"
+        if self.backend == "pallas" or (self.backend == "auto" and on_tpu):
+            try:
+                return self.compute(x, y, w_x=w_x, w_y=w_y, use_pallas=True)
+            except Exception:
+                if self.backend == "pallas":
+                    raise
+                # auto: a kernel-compilation failure must not take eval down
         if self.backend in ("native", "auto"):
             val = self.compute_native(x, y, w_x=w_x, w_y=w_y)
             if val is not None:

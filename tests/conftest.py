@@ -33,8 +33,9 @@ def pytest_addoption(parser):
 
 
 def pytest_collection_modifyitems(config, items):
-    """Skip @pytest.mark.slow by default so `pytest -q` fits a <5-min 1-CPU
-    budget (SURVEY.md §4); run them with --runslow or `-m slow`."""
+    """Skip @pytest.mark.slow by default so `pytest -q` stays interactive on
+    a 1-CPU box (measured ~7 min; docs/STATUS.md tracks the exact number,
+    SURVEY.md §4 the tiering); run them with --runslow or `-m slow`."""
     if config.getoption("--runslow") or config.getoption("-m"):
         return
     skip = pytest.mark.skip(reason="slow: use --runslow or -m slow")
