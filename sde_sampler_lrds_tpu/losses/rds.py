@@ -153,6 +153,37 @@ class EMReferenceSDELoss(BaseOCLoss):
         rnd = rnd + reference_log_prob(x_t) - terminal_unnorm_log_prob(x_t)
         return self.reduce(rnd, samples=x_t)
 
+    # -- fused KL training path ---------------------------------------------
+    def supports_fused_kl(self, ts, call_args: frozenset) -> bool:
+        """Whether ``kl_fused_call`` (the differentiable fused-kernel KL
+        path, ops/fused_traj.fused_kl_traj) covers this loss with the
+        solver's call-arg set: KL method + the same structural scope as the
+        flat LV path (linear SDE, tabulated reference)."""
+        return (self.method in ("kl", "kl_ito")
+                and call_args == frozenset({"terminal_unnorm_log_prob",
+                                            "reference_log_prob"})
+                and self._flat_grids(ts) is not None)
+
+    def kl_fused_call(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                      reference_log_prob, traj_rnd_fn):
+        """KL training through the differentiable fused trajectory.
+
+        Unlike LV, the KL loss attaches the simulated control, so the
+        trajectory carries parameter gradient and cannot be flattened —
+        instead ``traj_rnd_fn(x0, zs) -> (x_T, rnd)`` is the custom-VJP
+        fused kernel (ops/fused_traj.fused_kl_traj): Pallas forward, one
+        reverse adjoint scan backward over the saved states. Same estimator
+        and gradient as ``__call__`` under common noise
+        (tests/test_fused_traj.py); the internal noise stream mirrors
+        ``_flat_lv_setup`` so common-random-number comparisons line up."""
+        del ctrl  # the control rides inside traj_rnd_fn's tables
+        x = self.repeat_traj(x)
+        k_z, _ = jax.random.split(key)
+        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        x_t, rnd = traj_rnd_fn(x, zs)
+        rnd = rnd + reference_log_prob(x_t) - terminal_unnorm_log_prob(x_t)
+        return self.reduce(rnd, samples=x_t)
+
     def eval(self, key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob,
              compute_weights: bool = True, return_traj: bool = True):
         samples, rnd, xs = self.simulate(

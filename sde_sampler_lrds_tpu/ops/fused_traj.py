@@ -460,27 +460,181 @@ def fused_simulate(cfg: FusedTrajCfg, arrays: dict, key, x0,
     return x_t, rnd
 
 
+def _cap_block_for_traj(cfg: FusedTrajCfg, batch: int) -> FusedTrajCfg:
+    """Block size for return_traj=True calls: the per-tile xs output block
+    is (K, block_b, D) f32 and must fit in VMEM (~16 MiB/core) alongside
+    the noise block of the same size and the state/table buffers — cap
+    block_b so 2·K·block_b·D·4 stays under a ~10 MiB budget (grid iteration
+    count is free; block size is not)."""
+    budget_rows = max((10 << 20) // (2 * 4 * cfg.k_steps * cfg.dim), 8)
+    if cfg.block_b > budget_rows:
+        cfg = dataclasses.replace(cfg, block_b=1 << (budget_rows.bit_length() - 1))
+    return adapt_block(cfg, batch)
+
+
 def fused_traj_states(cfg: FusedTrajCfg, arrays: dict, x0,
                       noise: jnp.ndarray):
     """Gradient-free trajectory states for the flat LV training path
     (losses/rds.py lv_flat_call): pre-step states xs (K, B, D) and the
     terminal x_T, simulated under provided noise with everything
-    stop-gradiented (Pallas kernels have no VJP and the LV loss needs
-    none — its simulation control is detached by definition)."""
-    b = x0.shape[0]
-    # The per-tile xs output block is (K, block_b, D) f32 and must fit in
-    # VMEM (~16 MiB/core) alongside the noise block of the same size and
-    # the state/table buffers: cap block_b so 2·K·block_b·D·4 stays under
-    # a ~10 MiB budget (grid iteration count is free; block size is not).
-    budget_rows = max((10 << 20) // (2 * 4 * cfg.k_steps * cfg.dim), 8)
-    if cfg.block_b > budget_rows:
-        cfg = dataclasses.replace(cfg, block_b=1 << (budget_rows.bit_length() - 1))
-    cfg = adapt_block(cfg, b)
+    stop-gradiented (the flat LV cost math needs no trajectory gradient —
+    its simulation control is detached by definition)."""
+    cfg = _cap_block_for_traj(cfg, x0.shape[0])
     arrays = jax.lax.stop_gradient(arrays)
     x0 = jax.lax.stop_gradient(jnp.asarray(x0, jnp.float32))
     noise = jax.lax.stop_gradient(jnp.asarray(noise, jnp.float32))
     x_t, _, xs = _fused_traj(cfg, arrays, x0, noise, True, True)
     return xs, x_t
+
+
+# ---------------------------------------------------------------------------
+# differentiable fused trajectory (KL training)
+# ---------------------------------------------------------------------------
+# The KL loss attaches the simulated control, so unlike LV the trajectory
+# itself carries parameter gradient and the flat restructuring does not
+# apply. Instead: custom_vjp whose FORWARD is the fused Pallas kernel (with
+# the per-step states saved as residuals — the kernel already emits them for
+# the flat LV path) and whose BACKWARD is one reverse lax.scan implementing
+# the exact adjoint of the generalized integrator step
+#
+#   x_{k+1} = a_x·x_k + a_ref·r(x_k) + a_u·u_k + a_z·z_k,  u_k = U(t_k, x_k)
+#   rnd    += c_cost·½‖u_k‖² + c_dot·u_k·z_k
+#
+#   λ_k = a_x·λ_{k+1} + a_ref·(∂r/∂x)ᵀλ_{k+1} + (∂u/∂x)ᵀ g_u
+#   g_u = r̄·(c_cost·u_k + c_dot·z_k) + a_u·λ_{k+1}
+#
+# with the per-step (∂u/∂·)ᵀ pulled through jax.vjp of a pure-jnp mirror of
+# the kernel's control MLP, so table cotangents flow back to the params that
+# built them (build_plan is differentiable jnp). The reference tables are
+# frozen in RDS — their cotangents are zero by construction. Compared to
+# jax.grad of the remat'd scan this removes the forward recomputation AND
+# runs the forward at kernel speed; value/gradient parity is tested per
+# integrator family (tests/test_fused_traj.py).
+
+_MLP_KEYS = ("embed", "w0", "b0", "wh", "bh", "w_out", "b_out")
+
+
+def _mirror_mlp(cfg: FusedTrajCfg, core: dict, e_row, x):
+    """Pure-jnp mirror of the kernel's control evaluation at one step.
+    ``core`` holds the non-time-indexed tables; ``e_row`` is the (H,)
+    time-embed row for this step."""
+    act = cfg.activation
+    h = jnp.dot(x, core["w0"]) + core["b0"] + e_row[None, :]
+    for i in range(cfg.n_hidden):
+        h = jnp.dot(act(h), core["wh"][i]) + core["bh"][i]
+    u = jnp.dot(act(h), core["w_out"]) + core["b_out"]
+    if cfg.clip is not None:
+        u = jnp.clip(u, -cfg.clip, cfg.clip)
+    return u
+
+
+def _mirror_ref_score(cfg: FusedTrajCfg, aux: dict, row_c, row_m, row_iv, x):
+    """Pure-jnp mirror of the kernel's noised-MoG reference score at one
+    step (diag or eigendecomposed-full covariances)."""
+    d, c = cfg.dim, cfg.n_comp
+    logits, grads = [], []
+    for j in range(c):
+        diff = x - row_m[j * d:(j + 1) * d][None, :]
+        if cfg.full_cov:
+            y = jnp.dot(diff, aux["ref_p"][j * d:(j + 1) * d, :])
+            ys = y * row_iv[j * d:(j + 1) * d][None, :]
+            logits.append(row_c[j] - 0.5 * jnp.sum(y * ys, axis=-1))
+            g = jnp.dot(ys, aux["ref_pt"][j * d:(j + 1) * d, :])
+        else:
+            g = diff * row_iv[j * d:(j + 1) * d][None, :]
+            logits.append(row_c[j] - 0.5 * jnp.sum(diff * g, axis=-1))
+        grads.append(g)
+    if c == 1:
+        return -grads[0]
+    resp = jax.nn.softmax(jnp.stack(logits, axis=-1), axis=-1)
+    return -sum(resp[:, j:j + 1] * grads[j] for j in range(c))
+
+
+def _kl_forward_all(cfg: FusedTrajCfg, mesh, arrays, x0, noise):
+    """(x_T, rnd, xs) through the fused kernel; per shard under shard_map
+    on a multi-device mesh (a pallas_call does not SPMD-partition a sharded
+    operand itself). Values only — the custom VJP wraps the caller, so no
+    differentiation ever passes through the shard_map."""
+    if mesh is None or mesh.size == 1:
+        run_cfg = _cap_block_for_traj(cfg, x0.shape[0])
+        return _fused_traj(run_cfg, arrays, x0, noise, True, True)
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import data_axis
+
+    def local(arrays, x0, zs):
+        run_cfg = _cap_block_for_traj(cfg, x0.shape[0])
+        return _fused_traj(run_cfg, arrays, x0, zs, True, True)
+
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(), P(data_axis), P(None, data_axis)),
+                         out_specs=(P(data_axis), P(data_axis),
+                                    P(None, data_axis)),
+                         check_vma=False)(arrays, x0, noise)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_kl_traj(cfg: FusedTrajCfg, mesh, arrays: dict, x0, noise):
+    """Differentiable fused trajectory: (x_T, running rnd) under provided
+    per-step standard normals, with gradients flowing to the control tables
+    in ``arrays`` (and through them to the params that built them).
+    ``mesh=None`` runs single-device; a Mesh runs the forward kernel per
+    shard (the adjoint scan is plain jnp and shards under jit as usual)."""
+    x_t, rnd, _ = _kl_forward_all(cfg, mesh, jax.lax.stop_gradient(arrays),
+                                  jnp.asarray(x0, jnp.float32),
+                                  jnp.asarray(noise, jnp.float32))
+    return x_t, rnd
+
+
+def _fused_kl_fwd(cfg, mesh, arrays, x0, noise):
+    arrays_v = jax.lax.stop_gradient(arrays)
+    x0 = jnp.asarray(x0, jnp.float32)
+    noise = jnp.asarray(noise, jnp.float32)
+    x_t, rnd, xs = _kl_forward_all(cfg, mesh, arrays_v, x0, noise)
+    return (x_t, rnd), (arrays_v, xs, noise)
+
+
+def _fused_kl_bwd(cfg, mesh, res, cot):
+    arrays, xs, noise = res
+    x_bar_t, rnd_bar = cot                      # (B, D), (B,)
+    core = {k: arrays[k] for k in _MLP_KEYS if k != "embed"}
+    core = {k: v.astype(jnp.float32) for k, v in core.items()}
+    embed = arrays["embed"].astype(jnp.float32)                  # (K, H)
+    aux = {k: v for k, v in arrays.items() if k not in _MLP_KEYS}
+    rb = rnd_bar[:, None]
+
+    def body(carry, inp):
+        lam, core_bar = carry
+        x_k, z_k, coef_k, e_k, row_c, row_m, row_iv = inp
+        a_x, a_ref, a_u = coef_k[0], coef_k[1], coef_k[2]
+        a_z, c_cost, c_dot = coef_k[3], coef_k[4], coef_k[5]
+        u, pull = jax.vjp(
+            lambda c, e, xx: _mirror_mlp(cfg, c, e, xx), core, e_k, x_k)
+        g_u = rb * (c_cost * u + c_dot * z_k) + a_u * lam
+        core_bar_k, e_bar, x_bar_mlp = pull(g_u)
+        _, ref_pull = jax.vjp(
+            lambda xx: _mirror_ref_score(cfg, aux, row_c, row_m, row_iv, xx),
+            x_k)
+        (x_bar_ref,) = ref_pull(a_ref * lam)
+        z_bar = rb * c_dot * u + a_z * lam
+        lam = a_x * lam + x_bar_ref + x_bar_mlp
+        core_bar = jax.tree.map(jnp.add, core_bar, core_bar_k)
+        return (lam, core_bar), (e_bar, z_bar)
+
+    core_bar0 = jax.tree.map(jnp.zeros_like, core)
+    inputs = (xs, noise, aux["coefs"], embed,
+              aux["ref_const"], aux["ref_m"], aux["ref_iv"])
+    (lam0, core_bar), (e_bars, z_bars) = jax.lax.scan(
+        body, (x_bar_t, core_bar0), inputs, reverse=True)
+    arrays_bar = {k: jnp.zeros_like(v) for k, v in arrays.items()}
+    arrays_bar.update({k: v.astype(arrays[k].dtype)
+                       for k, v in core_bar.items()})
+    arrays_bar["embed"] = e_bars.astype(arrays["embed"].dtype)
+    return arrays_bar, lam0, z_bars
+
+
+fused_kl_traj.defvjp(_fused_kl_fwd, _fused_kl_bwd)
 
 
 def fused_simulate_sharded(mesh, cfg: FusedTrajCfg, arrays: dict, key, x0,

@@ -94,6 +94,13 @@ class TrainConfig:
     # single-device TPU mesh when the config is in scope; 'off' forces the
     # scan; 'force' also allows non-TPU backends (interpret mode — tests).
     fused_eval: str = "auto"
+    # fused KL training (losses/rds.py kl_fused_call + the custom-VJP
+    # ops/fused_traj.fused_kl_traj): 'auto' uses it for plain-KL RDS losses
+    # in fused-kernel scope on a single-device TPU mesh (f32 controls) —
+    # Pallas forward, one adjoint scan backward, gradient-identical to the
+    # scan path; 'off' forces the scan; 'force' also allows non-TPU
+    # backends (interpret mode — tests).
+    fused_kl: str = "auto"
 
 
 class Solver:

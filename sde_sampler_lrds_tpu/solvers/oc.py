@@ -87,6 +87,11 @@ class TrainableDiff(Trainable):
             return self.loss.lv_flat_call(
                 k_sim, self.train_ts, x, self.ctrl_fn(params),
                 traj_fn=self._flat_traj_fn(params), **self.loss_call_args())
+        kl_fn = self._fused_kl_fn(params)
+        if kl_fn is not None:
+            return self.loss.kl_fused_call(
+                k_sim, self.train_ts, x, self.ctrl_fn(params),
+                traj_rnd_fn=kl_fn, **self.loss_call_args())
         loss, metrics = self.loss(k_sim, self.train_ts, x, self.ctrl_fn(params),
                                   **self.loss_call_args())
         return loss, metrics
@@ -109,6 +114,44 @@ class TrainableDiff(Trainable):
                 and loss.sde_ctrl_dropout is None
                 and loss.supports_flat_lv(self.train_ts,
                                           frozenset(self.loss_call_args())))
+
+    def _fused_kl_fn(self, params):
+        """Differentiable fused-kernel trajectory for KL training
+        (ops/fused_traj.fused_kl_traj): returns ``(x0, zs) -> (x_T, rnd)``
+        or None when out of scope. Unlike ``_flat_traj_fn``, the plan is
+        built from the TRACED params — build_plan's table extraction is
+        differentiable jnp, so the custom VJP's table cotangents flow back
+        to the param pytree. Scope: plain-KL RDS loss, fused-kernel
+        structural scope, single-device mesh, f32 controls, TPU backend
+        (or 'force' for interpret-mode tests)."""
+        mode = getattr(self.cfg, "fused_kl", "auto")
+        if mode not in ("auto", "off", "force"):
+            raise ValueError(f"train.fused_kl must be 'auto', 'off' or "
+                             f"'force', got {mode!r}")
+        if mode == "off" or self.cfg.train_batch_size % self.mesh.size:
+            return None
+        if mode != "force" and jax.default_backend() != "tpu":
+            return None
+        loss = self.loss
+        if (getattr(loss, "kl_fused_call", None) is None
+                or not loss.supports_fused_kl(
+                    self.train_ts, frozenset(self.loss_call_args()))):
+            return None
+        from ..ops.fused_traj import build_plan, fused_kl_traj
+
+        try:
+            plan = build_plan(loss, self.generative_ctrl, params,
+                              self.train_ts)
+        except Exception:  # plan-builder crash ≠ legitimate out-of-scope
+            logging.warning("fused traj plan builder raised; KL training "
+                            "falls back to the scan simulation",
+                            exc_info=True)
+            return None
+        if plan is None or plan[0].bf16:
+            return None
+        cfg, arrays = plan
+        mesh = self.mesh if self.mesh.size > 1 else None
+        return lambda x0, zs: fused_kl_traj(cfg, mesh, arrays, x0, zs)
 
     def _flat_traj_fn(self, params):
         """Fused-Pallas simulation for the flat LV path when the config is

@@ -651,3 +651,127 @@ def test_solver_flat_lv_off_trains():
     assert not s_off._flat_lv_ok()
     m = s_off.step(jax.random.PRNGKey(0))
     assert np.isfinite(float(m["train/loss"]))
+
+
+# ---------------------------------------------------------------------------
+# fused KL training path (kl_fused_call + custom-VJP fused_kl_traj)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("loss_cls,kw", [
+    (EIReferenceSDELoss, {}),
+    pytest.param(DDPMLikeReferenceSDELoss, {}, marks=pytest.mark.slow),
+    pytest.param(EMReferenceSDELoss, {"use_rescaling": True},
+                 marks=pytest.mark.slow),
+    pytest.param(EMReferenceSDELoss, {"use_rescaling": False},
+                 marks=pytest.mark.slow),
+])
+def test_kl_fused_matches_scan_value_and_grad(loss_cls, kw):
+    """kl_fused_call (custom-VJP fused trajectory) == simulate+reduce in
+    value AND parameter gradient under common noise. Unlike LV, the KL
+    trajectory carries parameter gradient, so this validates the hand-built
+    adjoint scan (ops/fused_traj._fused_kl_bwd) against jax.grad of the
+    reference-shaped scan."""
+    from sde_sampler_lrds_tpu.ops.fused_traj import build_plan, fused_kl_traj
+
+    loss, ctrl, params, _, ts = _setup(loss_cls, **kw, method="kl",
+                                       max_rnd=1e8)
+    if loss_cls is DDPMLikeReferenceSDELoss:
+        ts = get_timesteps(0.0, 0.96, steps=K)
+    key = jax.random.PRNGKey(21)
+    x0 = jax.random.normal(jax.random.PRNGKey(22), (BATCH, DIM))
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    ref_lp = lambda x: -0.6 * jnp.sum((x - 0.1) ** 2, axis=-1)
+    # the same zs kl_fused_call derives internally
+    k_z, _ = jax.random.split(key)
+    zs = jax.random.normal(k_z, (K, BATCH, DIM))
+
+    def loss_scan(p):
+        cf = lambda t, x: ctrl.apply(p, t, x)
+        x_t, rnd, _ = loss.simulate(jax.random.PRNGKey(0), ts, x0, cf, term,
+                                    ref_lp, change_sde_ctrl=False, noise=zs)
+        return loss.reduce(rnd, samples=x_t)[0]
+
+    def loss_fused(p):
+        cfg, arrays = build_plan(loss, ctrl, p, ts)
+        fn = lambda x0_, zs_: fused_kl_traj(cfg, None, arrays, x0_, zs_)
+        return loss.kl_fused_call(key, ts, x0, None, term, ref_lp,
+                                  traj_rnd_fn=fn)[0]
+
+    v_scan, g_scan = jax.value_and_grad(loss_scan)(params)
+    v_fused, g_fused = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(v_fused, v_scan, rtol=1e-5, atol=1e-6)
+    fused_leaves = jax.tree.leaves(g_fused)
+    scan_leaves = jax.tree.leaves(g_scan)
+    assert any(float(jnp.abs(l).max()) > 0 for l in scan_leaves)
+    for gf, gs in zip(fused_leaves, scan_leaves):
+        np.testing.assert_allclose(gf, gs, rtol=3e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_kl_fused_full_cov_grad_parity():
+    """Full-covariance (eigendecomposed) reference: the adjoint's reference
+    Hessian-vector products ride the rotation tables."""
+    from sde_sampler_lrds_tpu.ops.fused_traj import build_plan, fused_kl_traj
+
+    loss, ctrl, params, _, ts = _setup(EIReferenceSDELoss,
+                                       ref_kind="gmm_full", method="kl",
+                                       max_rnd=1e8)
+    key = jax.random.PRNGKey(31)
+    x0 = jax.random.normal(jax.random.PRNGKey(32), (BATCH, DIM))
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    ref_lp = lambda x: -0.6 * jnp.sum(x**2, axis=-1)
+    k_z, _ = jax.random.split(key)
+    zs = jax.random.normal(k_z, (K, BATCH, DIM))
+
+    def loss_scan(p):
+        cf = lambda t, x: ctrl.apply(p, t, x)
+        x_t, rnd, _ = loss.simulate(jax.random.PRNGKey(0), ts, x0, cf, term,
+                                    ref_lp, change_sde_ctrl=False, noise=zs)
+        return loss.reduce(rnd, samples=x_t)[0]
+
+    def loss_fused(p):
+        cfg, arrays = build_plan(loss, ctrl, p, ts)
+        fn = lambda x0_, zs_: fused_kl_traj(cfg, None, arrays, x0_, zs_)
+        return loss.kl_fused_call(key, ts, x0, None, term, ref_lp,
+                                  traj_rnd_fn=fn)[0]
+
+    v_scan, g_scan = jax.value_and_grad(loss_scan)(params)
+    v_fused, g_fused = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(v_fused, v_scan, rtol=1e-5, atol=1e-6)
+    for gf, gs in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_scan)):
+        np.testing.assert_allclose(gf, gs, rtol=3e-4, atol=2e-5)
+
+
+def _make_kl_solver(fused_kl):
+    from sde_sampler_lrds_tpu.solvers import RDS
+    from sde_sampler_lrds_tpu.solvers.base import TrainConfig
+    from sde_sampler_lrds_tpu.targets import IsotropicGauss, ManyModes
+
+    target = ManyModes(n_modes=4, dim=DIM, var=0.5)
+    prior = IsotropicGauss(dim=DIM, loc=0.0, scale=1.0)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ctrl = ClippedCtrl(base_model=FourierMLP(dim=DIM, zero_init=True),
+                       clip_model=1e4)
+    cfg = TrainConfig(train_steps=4, train_batch_size=32,
+                      eval_batch_size=32, lr=1e-3, fused_kl=fused_kl)
+    solver = RDS(target, prior, sde, ctrl, EIReferenceSDELoss,
+                 {"method": "kl", "max_rnd": 1e8},
+                 train_ts=get_timesteps(0.0, 1.0, steps=K), cfg=cfg)
+    solver.setup()
+    return solver
+
+
+def test_solver_fused_kl_routing_and_trains():
+    """fused_kl='force' routes KL training through the custom-VJP kernel
+    (interpret mode on CPU) and trains to a finite loss; 'auto' on a CPU
+    backend and 'off' keep the scan."""
+    s = _make_kl_solver("force")
+    assert s._fused_kl_fn(s.state.params) is not None
+    m = s.step(jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["train/loss"]))
+    s_auto = _make_kl_solver("auto")  # CPU backend -> scan
+    assert s_auto._fused_kl_fn(s_auto.state.params) is None
+    s_off = _make_kl_solver("off")
+    assert s_off._fused_kl_fn(s_off.state.params) is None
+    m = s_off.step(jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["train/loss"]))
