@@ -73,25 +73,55 @@ class ExponentialIntegratorSDELoss(BaseOCLoss):
                      reference_log_prob, traj_fn=None):
         """LV training as gradient-free simulation + flat batched cost
         (detached simulation control; cost β²σ²·u·(ū−½u) + σβ·u·ε at
-        frozen states carries the full gradient)."""
-        del traj_fn
+        frozen states carries the full gradient). ``traj_fn(x0, zs) ->
+        (xs, x_T)`` runs the simulation in the fused Pallas kernel
+        (ops/fused_traj; see losses/rds.py lv_flat_call)."""
         x, k_sim, zs = self._flat_lv_setup(key, ts, x)
-        _, _, xs_all = self.simulate(
-            k_sim, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob,
-            compute_ito_int=False, change_sde_ctrl=True, return_traj=True,
-            noise=zs)
-        xs_all = jax.lax.stop_gradient(xs_all)                 # (K+1, B, D)
+        if traj_fn is not None:
+            xs, x_t = traj_fn(x, zs)
+        else:
+            x_t, _, xs_all = self.simulate(
+                k_sim, ts, x, ctrl, terminal_unnorm_log_prob,
+                reference_log_prob, compute_ito_int=False,
+                change_sde_ctrl=True, return_traj=True, noise=zs)
+            xs = xs_all[:-1]
+        xs = jax.lax.stop_gradient(xs)                         # (K, B, D)
+        x_t = jax.lax.stop_gradient(x_t)
         s_arr, t_arr = ts[:-1], ts[1:]
         beta = jnp.clip(self.alpha * jnp.sqrt(t_arr - s_arr),
                         0.0, 1.0)[:, None]                     # (K, 1)
-        u = flat_ctrl_eval(ctrl, s_arr, xs_all[:-1])           # (K, B, D)
+        u = flat_ctrl_eval(ctrl, s_arr, xs)                    # (K, B, D)
         u_bar = jax.lax.stop_gradient(u)
         steps = (beta**2 * self.sigma**2
                  * jnp.sum(u * (u_bar - 0.5 * u), axis=-1)
                  + self.sigma * beta * jnp.sum(u * zs, axis=-1))
-        rnd = (jnp.sum(steps, axis=0) + reference_log_prob(xs_all[-1])
-               - terminal_unnorm_log_prob(xs_all[-1]))
-        return self.reduce(rnd, samples=xs_all[-1])
+        rnd = (jnp.sum(steps, axis=0) + reference_log_prob(x_t)
+               - terminal_unnorm_log_prob(x_t))
+        return self.reduce(rnd, samples=x_t)
+
+    # -- fused KL training path (see losses/rds.py kl_fused_call) ----------
+    @property
+    def fused_train_ito(self) -> bool:
+        # __call__ trains with compute_ito_int = (method != 'kl')
+        return self.method != "kl"
+
+    def supports_fused_kl(self, ts, call_args: frozenset) -> bool:
+        return (self.method in ("kl", "kl_ito")
+                and call_args == frozenset({"terminal_unnorm_log_prob",
+                                            "reference_log_prob"}))
+
+    def kl_fused_call(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                      reference_log_prob, traj_rnd_fn):
+        """KL training through the differentiable fused trajectory
+        (ops/fused_traj.fused_kl_traj; rationale in losses/rds.py). The
+        plan's c_dot carries the ito toggle (``fused_train_ito``)."""
+        del ctrl
+        x = self.repeat_traj(x)
+        k_z, _ = jax.random.split(key)
+        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        x_t, rnd = traj_rnd_fn(x, zs)
+        rnd = rnd + reference_log_prob(x_t) - terminal_unnorm_log_prob(x_t)
+        return self.reduce(rnd, samples=x_t)
 
     def eval(self, key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob,
              compute_weights: bool = True, return_traj: bool = True):

@@ -86,24 +86,49 @@ class DiscreteTimeReversalLossEI(BaseOCLoss):
         detached simulation control makes the trajectory parameter-free, so
         one batched control evaluation over all K·B pre-step states carries
         the full gradient (value- and gradient-identical to ``__call__``
-        under common noise, tests/test_fused_traj.py). ``traj_fn`` accepted
-        for solver-interface parity, unused (no fused kernel for DIS)."""
-        del traj_fn
+        under common noise, tests/test_fused_traj.py). ``traj_fn(x0, zs) ->
+        (xs, x_T)`` runs the simulation in the fused Pallas kernel
+        (ops/fused_traj; see losses/rds.py lv_flat_call)."""
         x, k_sim, zs = self._flat_lv_setup(key, ts, x)
-        _, _, xs_all = self.simulate(
-            k_sim, ts, x, ctrl, terminal_unnorm_log_prob,
-            initial_log_prob=initial_log_prob, train=True,
-            change_sde_ctrl=True, return_traj=True, noise=zs)
-        xs_all = jax.lax.stop_gradient(xs_all)                 # (K+1, B, D)
+        if traj_fn is not None:
+            xs, x_t = traj_fn(x, zs)
+        else:
+            x_t, _, xs_all = self.simulate(
+                k_sim, ts, x, ctrl, terminal_unnorm_log_prob,
+                initial_log_prob=initial_log_prob, train=True,
+                change_sde_ctrl=True, return_traj=True, noise=zs)
+            xs = xs_all[:-1]
+        xs = jax.lax.stop_gradient(xs)                         # (K, B, D)
+        x_t = jax.lax.stop_gradient(x_t)
         s_arr, t_arr = ts[:-1], ts[1:]
         omega = self.sde.omega(s_arr, t_arr)[:, None]          # (K, 1)
-        u = flat_ctrl_eval(ctrl, ts[-1] - s_arr, xs_all[:-1])  # (K, B, D)
+        u = flat_ctrl_eval(ctrl, ts[-1] - s_arr, xs)           # (K, B, D)
         u_bar = jax.lax.stop_gradient(u)
         steps = (omega * jnp.sum(u * (u_bar - 0.5 * u), axis=-1)
                  + jnp.sqrt(omega) * jnp.sum(u * zs, axis=-1))  # (K, B)
-        rnd = initial_log_prob(xs_all[0]) + jnp.sum(steps, axis=0) \
-            - terminal_unnorm_log_prob(xs_all[-1])
-        return self.reduce(rnd, samples=xs_all[-1])
+        rnd = initial_log_prob(x) + jnp.sum(steps, axis=0) \
+            - terminal_unnorm_log_prob(x_t)
+        return self.reduce(rnd, samples=x_t)
+
+    # -- fused KL training path (see losses/rds.py kl_fused_call) ----------
+    def supports_fused_kl(self, ts, call_args: frozenset) -> bool:
+        return (self.method in ("kl", "kl_ito")
+                and call_args == frozenset({"terminal_unnorm_log_prob",
+                                            "initial_log_prob"}))
+
+    def kl_fused_call(self, key, ts, x, ctrl, terminal_unnorm_log_prob,
+                      initial_log_prob=None, traj_rnd_fn=None):
+        """KL training through the differentiable fused trajectory
+        (ops/fused_traj.fused_kl_traj; rationale in losses/rds.py). KL
+        training starts from rnd₀ = 0 — ``initial_log_prob`` is an
+        eval-only boundary term here (simulate, train=True branch)."""
+        del ctrl, initial_log_prob
+        x = self.repeat_traj(x)
+        k_z, _ = jax.random.split(key)
+        zs = jax.random.normal(k_z, (ts.shape[0] - 1, *x.shape))
+        x_t, rnd = traj_rnd_fn(x, zs)
+        rnd = rnd - terminal_unnorm_log_prob(x_t)
+        return self.reduce(rnd, samples=x_t)
 
     def eval(self, key, ts, x, ctrl, terminal_unnorm_log_prob, initial_log_prob=None,
              compute_weights: bool = True, return_traj: bool = True):

@@ -226,21 +226,26 @@ def _reference_tables(reference_ctrl, t_grid, dim):
                 ref_iv=(1.0 / v).reshape(k, c * d))
 
 
-def _step_coeffs(loss, ts):
+def _step_coeffs(loss, ts, ito: bool = True):
     """Per-step (a_x, a_ref, a_u, a_z, c_cost, c_dot) for the loss's
-    integrator in eval (Ito) mode — see module docstring."""
-    from ..losses.rds import (DDPMLikeReferenceSDELoss, EIReferenceSDELoss,
-                              EMReferenceSDELoss)
+    integrator — see module docstring. Returns (coefs, t_ctrl, has_ref).
+    ``ito`` zeroes the RND's u·z term for losses that make it optional
+    (DDS: compute_ito_int); the state-update noise coefficient a_z is
+    unaffected."""
+    from ..losses.dds import ExponentialIntegratorSDELoss
+    from ..losses.dis import DiscreteTimeReversalLossEI
+    from ..losses.rds import EIReferenceSDELoss, EMReferenceSDELoss
 
     s_arr, t_arr = ts[:-1], ts[1:]
     t_ctrl = ts[-1] - s_arr
+    has_ref = True
     if isinstance(loss, EIReferenceSDELoss):  # covers DDPM subclass
         omega = loss._omega(s_arr, t_arr)
         a_x, a_s, a_z = loss._step_coeffs(s_arr, t_arr)
         coefs = (a_x, a_s, a_s, a_z, omega, jnp.sqrt(omega))
     elif type(loss) is EMReferenceSDELoss:
         if not hasattr(loss.sde, "drift_coeff_t"):
-            return None, None
+            return None, None, False
         dt = t_arr - s_arr
         sqdt = jnp.sqrt(dt)
         diff = loss.sde.diff_coeff_t(t_ctrl)
@@ -255,26 +260,54 @@ def _step_coeffs(loss, ts):
             # coefficients so the kernel still consumes the raw MLP output
             coefs = (1.0 - drift_k * dt, diff**2 * dt, diff**2 * dt,
                      diff * sqdt, diff**2 * dt, diff * sqdt)
+    elif type(loss) is DiscreteTimeReversalLossEI:
+        # discrete DIS (losses/oc.py:897): EI kernel, no reference score
+        omega = loss.sde.omega(s_arr, t_arr)
+        a_x, a_s, a_z = loss.sde.ei_step_coeffs(s_arr, t_arr)
+        zero = jnp.zeros_like(omega)
+        coefs = (a_x, zero, a_s, a_z, omega, jnp.sqrt(omega))
+        has_ref = False
+    elif type(loss) is ExponentialIntegratorSDELoss:
+        # original DDS (losses/oc.py:1310): forward clock, Vargas update
+        t_ctrl = s_arr
+        beta = jnp.clip(loss.alpha * jnp.sqrt(t_arr - s_arr), 0.0, 1.0)
+        alpha_k = jnp.sqrt(1.0 - beta**2)
+        zero = jnp.zeros_like(beta)
+        c_dot = loss.sigma * beta if ito else zero
+        coefs = (alpha_k, zero, beta**2 * loss.sigma**2,
+                 loss.sigma * beta, beta**2 * loss.sigma**2, c_dot)
+        has_ref = False
     else:
-        return None, None
+        return None, None, False
     coefs = jnp.stack([jnp.broadcast_to(c, s_arr.shape).astype(jnp.float32)
                        for c in coefs], axis=-1)              # (K, 6)
-    return coefs, t_ctrl
+    return coefs, t_ctrl, has_ref
 
 
-def build_plan(loss, ctrl_module, params, ts, block_b: int = 2048):
+def build_plan(loss, ctrl_module, params, ts, block_b: int = 2048,
+               ito: bool = True):
     """Build (cfg, arrays) for ``fused_simulate`` or return None when the
-    (loss, control, reference) triple is outside the kernel's scope."""
-    coefs, t_ctrl = _step_coeffs(loss, ts)
+    (loss, control, reference) triple is outside the kernel's scope.
+    Reference-free losses (DDS, discrete DIS) ship a one-component dummy
+    table with zero inverse variances — the kernel's reference score is
+    identically zero and its a_ref coefficient is zero anyway."""
+    coefs, t_ctrl, has_ref = _step_coeffs(loss, ts, ito=ito)
     if coefs is None:
         return None
     mlp = _fourier_mlp_tables(ctrl_module, params, t_ctrl)
     if mlp is None:
         return None
     fields, arrays = mlp
-    ref = _reference_tables(loss.reference_ctrl, t_ctrl, fields["dim"])
-    if ref is None:
-        return None
+    if has_ref:
+        ref = _reference_tables(getattr(loss, "reference_ctrl", None),
+                                t_ctrl, fields["dim"])
+        if ref is None:
+            return None
+    else:
+        k, d = int(ts.shape[0] - 1), fields["dim"]
+        ref = dict(ref_const=jnp.zeros((k, 1), jnp.float32),
+                   ref_m=jnp.zeros((k, d), jnp.float32),
+                   ref_iv=jnp.zeros((k, d), jnp.float32))
     cfg = FusedTrajCfg(k_steps=int(ts.shape[0] - 1), block_b=block_b,
                        n_comp=ref["ref_const"].shape[1],
                        full_cov="ref_p" in ref, **fields)
@@ -440,12 +473,15 @@ def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
 
 
 def fused_simulate(cfg: FusedTrajCfg, arrays: dict, key, x0,
-                   terminal_unnorm_log_prob, reference_log_prob,
-                   noise: jnp.ndarray | None = None):
-    """Run the fused trajectory and add the terminal cost — the fused
-    equivalent of EM/EI/DDPM ``simulate(..., change_sde_ctrl=False)``
-    (losses/rds.py). ``noise`` (K, B, D), when given, replaces the on-core
-    PRNG for bit-comparable testing against the scan path."""
+                   terminal_unnorm_log_prob, reference_log_prob=None,
+                   initial_log_prob=None, noise: jnp.ndarray | None = None):
+    """Run the fused trajectory and add the boundary costs — the fused
+    equivalent of ``simulate(..., change_sde_ctrl=False)`` in eval mode:
+    RDS/DDS add ``log p_ref(x_T)`` (losses/rds.py, losses/dds.py),
+    discrete DIS starts from ``log p_0(x_0)`` (losses/dis.py, train=False);
+    every family subtracts the terminal ``log ρ(x_T)``. ``noise``
+    (K, B, D), when given, replaces the on-core PRNG for bit-comparable
+    testing against the scan path."""
     b = x0.shape[0]
     cfg = adapt_block(cfg, b)
     x0 = jnp.asarray(x0, jnp.float32)
@@ -456,7 +492,11 @@ def fused_simulate(cfg: FusedTrajCfg, arrays: dict, key, x0,
         seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
         x_t, rnd, _ = _fused_traj(cfg, arrays, x0, seed, False)
-    rnd = rnd + reference_log_prob(x_t) - terminal_unnorm_log_prob(x_t)
+    if initial_log_prob is not None:
+        rnd = rnd + initial_log_prob(x0)
+    if reference_log_prob is not None:
+        rnd = rnd + reference_log_prob(x_t)
+    rnd = rnd - terminal_unnorm_log_prob(x_t)
     return x_t, rnd
 
 
@@ -638,12 +678,13 @@ fused_kl_traj.defvjp(_fused_kl_fwd, _fused_kl_bwd)
 
 
 def fused_simulate_sharded(mesh, cfg: FusedTrajCfg, arrays: dict, key, x0,
-                           terminal_unnorm_log_prob, reference_log_prob):
+                           terminal_unnorm_log_prob, reference_log_prob=None,
+                           initial_log_prob=None):
     """``fused_simulate`` composed with the data-parallel mesh: a
     ``pallas_call`` does not SPMD-partition a sharded operand, so run the
     kernel per shard under ``shard_map`` — every device executes the whole
     K-step trajectory on its local batch rows against replicated tables,
-    and the terminal costs stay elementwise per shard. Per-device PRNG
+    and the boundary costs stay elementwise per shard. Per-device PRNG
     streams decorrelate by folding the device's axis index into the key."""
     from jax.sharding import PartitionSpec as P
 
@@ -656,9 +697,11 @@ def fused_simulate_sharded(mesh, cfg: FusedTrajCfg, arrays: dict, key, x0,
             zs = jax.random.normal(key, (cfg.k_steps, *x0.shape))
             return fused_simulate(cfg, arrays, None, x0,
                                   terminal_unnorm_log_prob,
-                                  reference_log_prob, noise=zs)
+                                  reference_log_prob, initial_log_prob,
+                                  noise=zs)
         return fused_simulate(cfg, arrays, key, x0,
-                              terminal_unnorm_log_prob, reference_log_prob)
+                              terminal_unnorm_log_prob, reference_log_prob,
+                              initial_log_prob)
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
     # annotation, and the kernel is purely per-shard anyway

@@ -71,6 +71,12 @@ class TrainableDiff(Trainable):
     def ctrl_fn(self, params) -> Callable:
         return lambda t, x: self.generative_ctrl.apply(params, t, x)
 
+    def ctrl_params(self, params):
+        """The generative control's sub-pytree of the solver params (the
+        fused-kernel plan builder consumes module params directly; Bridge
+        nests them under 'generative')."""
+        return params
+
     def clipped_target_unnorm_log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
         return clip_norm(self.target.unnorm_log_prob(x), self.clip_target)
 
@@ -140,8 +146,9 @@ class TrainableDiff(Trainable):
         from ..ops.fused_traj import build_plan, fused_kl_traj
 
         try:
-            plan = build_plan(loss, self.generative_ctrl, params,
-                              self.train_ts)
+            plan = build_plan(loss, self.generative_ctrl,
+                              self.ctrl_params(params), self.train_ts,
+                              ito=getattr(loss, "fused_train_ito", True))
         except Exception:  # plan-builder crash ≠ legitimate out-of-scope
             logging.warning("fused traj plan builder raised; KL training "
                             "falls back to the scan simulation",
@@ -168,7 +175,8 @@ class TrainableDiff(Trainable):
 
         try:
             plan = build_plan(self.loss, self.generative_ctrl,
-                              jax.lax.stop_gradient(params), self.train_ts)
+                              jax.lax.stop_gradient(self.ctrl_params(params)),
+                              self.train_ts)
         except Exception:  # plan-builder crash ≠ legitimate out-of-scope
             logging.warning("fused traj plan builder raised; training "
                             "falls back to the scan simulation",
@@ -223,8 +231,10 @@ class TrainableDiff(Trainable):
             return False
         if mode != "force" and jax.default_backend() != "tpu":
             return False
-        if set(self.loss_call_args()) != {"terminal_unnorm_log_prob",
-                                          "reference_log_prob"}:
+        args = set(self.loss_call_args())
+        if ("terminal_unnorm_log_prob" not in args
+                or not args <= {"terminal_unnorm_log_prob",
+                                "reference_log_prob", "initial_log_prob"}):
             return False
         cache = getattr(self, "_eval_jit_cache", None)
         if cache is None:
@@ -234,7 +244,8 @@ class TrainableDiff(Trainable):
             from ..ops.fused_traj import build_plan
 
             try:
-                ok = build_plan(self.loss, self.generative_ctrl, params,
+                ok = build_plan(self.loss, self.generative_ctrl,
+                                self.ctrl_params(params),
                                 self.eval_ts) is not None
             except Exception:  # crash ≠ legitimate out-of-scope
                 logging.warning("fused traj plan builder raised; eval "
@@ -250,8 +261,11 @@ class TrainableDiff(Trainable):
         args = self.loss_call_args()
         k_prior, k_sim = jax.random.split(key)
         x = self.prior.sample(k_prior, (self.cfg.eval_batch_size,))
-        cfg, arrays = build_plan(self.loss, self.generative_ctrl, params,
-                                 self.eval_ts)
+        # ito=compute_weights only matters for DDS, whose eval makes the
+        # RND's u·z term optional (compute_ito_int=compute_weights)
+        cfg, arrays = build_plan(self.loss, self.generative_ctrl,
+                                 self.ctrl_params(params), self.eval_ts,
+                                 ito=compute_weights)
         if self.mesh.size > 1:
             x = constrain_batch(x, self.mesh)
             samples, rnd = fused_simulate_sharded(self.mesh, cfg, arrays,
@@ -300,12 +314,16 @@ class TrainableDiff(Trainable):
         params = self.state.ema_params if (use_ema and self.cfg.use_ema) \
             else self.state.params
         args = self.loss_call_args(use_ema=use_ema)
-        if set(args) != {"terminal_unnorm_log_prob", "reference_log_prob"}:
+        if ("terminal_unnorm_log_prob" not in args
+                or not set(args) <= {"terminal_unnorm_log_prob",
+                                     "reference_log_prob",
+                                     "initial_log_prob"}):
             return None
         if self.cfg.eval_batch_size % self.mesh.size:
             return None
-        plan = build_plan(self.loss, self.generative_ctrl, params,
-                          self.eval_ts, block_b=block_b)
+        plan = build_plan(self.loss, self.generative_ctrl,
+                          self.ctrl_params(params), self.eval_ts,
+                          block_b=block_b)
         if plan is None:
             return None
         cfg, arrays = plan
@@ -316,13 +334,9 @@ class TrainableDiff(Trainable):
             x0 = self.prior.sample(k_p, (self.cfg.eval_batch_size,))
             if self.mesh.size > 1:  # kernel-per-shard over the data axis
                 x0 = constrain_batch(x0, self.mesh)
-                return fused_simulate_sharded(
-                    self.mesh, cfg, arrays, k_s, x0,
-                    args["terminal_unnorm_log_prob"],
-                    args["reference_log_prob"])
-            return fused_simulate(cfg, arrays, k_s, x0,
-                                  args["terminal_unnorm_log_prob"],
-                                  args["reference_log_prob"])
+                return fused_simulate_sharded(self.mesh, cfg, arrays, k_s,
+                                              x0, **args)
+            return fused_simulate(cfg, arrays, k_s, x0, **args)
 
         return sample
 
@@ -374,6 +388,9 @@ class Bridge(TrainableDiff):
         return {"terminal_unnorm_log_prob": self.clipped_target_unnorm_log_prob,
                 "initial_log_prob": self.prior.log_prob}
 
+    def ctrl_params(self, params):
+        return params["generative"]
+
     def loss_fn(self, params, key: jax.Array):
         k_prior, k_sim = jax.random.split(key)
         x = self.prior.sample(k_prior, (self.cfg.train_batch_size,))
@@ -381,19 +398,30 @@ class Bridge(TrainableDiff):
         kwargs = self.loss_call_args()
         if self.inference_ctrl_module is not None:
             kwargs["inference_ctrl"] = self.inference_ctrl_fn(params)
-        elif self._flat_lv_ok():
+            return self.loss(k_sim, self.train_ts, x, self.ctrl_fn(params),
+                             **kwargs)
+        if self._flat_lv_ok():
             return self.loss.lv_flat_call(
                 k_sim, self.train_ts, x, self.ctrl_fn(params),
                 traj_fn=self._flat_traj_fn(params), **kwargs)
+        kl_fn = self._fused_kl_fn(params)
+        if kl_fn is not None:
+            return self.loss.kl_fused_call(
+                k_sim, self.train_ts, x, self.ctrl_fn(params),
+                traj_rnd_fn=kl_fn, **kwargs)
         return self.loss(k_sim, self.train_ts, x, self.ctrl_fn(params), **kwargs)
 
-    def evaluate(self, key: jax.Array, use_ema: bool = True,
-                 compute_weights: bool = True, return_traj: bool = False) -> Results:
-        # return_traj defaults to False, matching TrainableDiff.evaluate
-        # (only plotting paths request trajectories)
-        params = self.state.ema_params if (use_ema and self.cfg.use_ema) else self.state.params
-        return self._cached_eval(params, key, compute_weights, return_traj,
-                                 self._eval_sim)
+    def _fused_eval_ok(self, params) -> bool:
+        # the kernel has no learned inference control; evals with one keep
+        # the scan (TrainableDiff.evaluate handles the fused routing)
+        if self.inference_ctrl_module is not None:
+            return False
+        return super()._fused_eval_ok(params)
+
+    def fused_eval_sampler(self, use_ema: bool = True, block_b: int = 2048):
+        if self.inference_ctrl_module is not None:
+            return None
+        return super().fused_eval_sampler(use_ema=use_ema, block_b=block_b)
 
     def _eval_sim(self, params, key, compute_weights, return_traj):
         k_prior, k_sim = jax.random.split(key)

@@ -775,3 +775,159 @@ def test_solver_fused_kl_routing_and_trains():
     assert s_off._fused_kl_fn(s_off.state.params) is None
     m = s_off.step(jax.random.PRNGKey(0))
     assert np.isfinite(float(m["train/loss"]))
+
+
+# ---------------------------------------------------------------------------
+# DDS / discrete-DIS kernel coverage (reference-free generalized step)
+# ---------------------------------------------------------------------------
+
+def _setup_dds(method="kl"):
+    from sde_sampler_lrds_tpu.losses.dds import ExponentialIntegratorSDELoss
+
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    base = FourierMLP(dim=DIM, num_layers=4)
+    ctrl = ClippedCtrl(base_model=base, clip_model=1e4)
+    params = ctrl.init(jax.random.PRNGKey(0), jnp.zeros(()), jnp.zeros((1, DIM)))
+    loss = ExponentialIntegratorSDELoss(sde=sde, method=method, alpha=0.8,
+                                        sigma=1.1, max_rnd=1e8)
+    ts = get_timesteps(0.0, 1.0, steps=K)
+    ctrl_fn = lambda t, x: ctrl.apply(params, t, x)
+    return loss, ctrl, params, ctrl_fn, ts
+
+
+def _setup_dis(method="kl"):
+    from sde_sampler_lrds_tpu.losses.dis import DiscreteTimeReversalLossEI
+
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    base = FourierMLP(dim=DIM, num_layers=4)
+    ctrl = ClippedCtrl(base_model=base, clip_model=1e4)
+    params = ctrl.init(jax.random.PRNGKey(0), jnp.zeros(()), jnp.zeros((1, DIM)))
+    loss = DiscreteTimeReversalLossEI(sde=sde, method=method, max_rnd=1e8)
+    ts = get_timesteps(0.0, 1.0, steps=K)
+    ctrl_fn = lambda t, x: ctrl.apply(params, t, x)
+    return loss, ctrl, params, ctrl_fn, ts
+
+
+@pytest.mark.parametrize("ito", [True, False])
+def test_fused_dds_matches_scan(ito):
+    """DDS eval through the kernel == scan under common noise; the ito
+    toggle gates the RND's u·z term exactly like compute_ito_int."""
+    loss, ctrl, params, ctrl_fn, ts = _setup_dds()
+    plan = build_plan(loss, ctrl, params, ts, block_b=BATCH // 2, ito=ito)
+    assert plan is not None
+    cfg, arrays = plan
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (BATCH, DIM))
+    noise = jax.random.normal(jax.random.PRNGKey(3), (K, BATCH, DIM))
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    ref_lp = lambda x: -0.6 * jnp.sum((x - 0.1) ** 2, axis=-1)
+    x_f, r_f = fused_simulate(cfg, arrays, None, x0, term,
+                              reference_log_prob=ref_lp, noise=noise)
+    x_s, r_s, _ = loss.simulate(jax.random.PRNGKey(7), ts, x0, ctrl_fn, term,
+                                ref_lp, compute_ito_int=ito,
+                                change_sde_ctrl=False, noise=noise)
+    np.testing.assert_allclose(x_f, x_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(r_f, r_s, rtol=2e-5, atol=2e-4)
+
+
+def test_fused_dis_matches_scan_eval():
+    """Discrete-DIS eval (train=False: rnd0 = log p0(x0)) through the
+    kernel == scan under common noise."""
+    loss, ctrl, params, ctrl_fn, ts = _setup_dis()
+    plan = build_plan(loss, ctrl, params, ts, block_b=BATCH // 2)
+    assert plan is not None
+    cfg, arrays = plan
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (BATCH, DIM))
+    noise = jax.random.normal(jax.random.PRNGKey(5), (K, BATCH, DIM))
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    init_lp = lambda x: -0.5 * jnp.sum(x**2, axis=-1) - 0.3
+    x_f, r_f = fused_simulate(cfg, arrays, None, x0, term,
+                              initial_log_prob=init_lp, noise=noise)
+    x_s, r_s, _ = loss.simulate(jax.random.PRNGKey(7), ts, x0, ctrl_fn, term,
+                                initial_log_prob=init_lp, train=False,
+                                change_sde_ctrl=False, noise=noise)
+    np.testing.assert_allclose(x_f, x_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(r_f, r_s, rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("family", ["dds", "dis"])
+def test_kl_fused_dds_dis_value_and_grad(family):
+    """Fused-KL custom VJP == scan value and gradient for the
+    reference-free families (DDS drops the ito term in plain-KL training;
+    DIS starts from rnd0 = 0)."""
+    from sde_sampler_lrds_tpu.ops.fused_traj import build_plan, fused_kl_traj
+
+    setup = _setup_dds if family == "dds" else _setup_dis
+    loss, ctrl, params, _, ts = setup(method="kl")
+    key = jax.random.PRNGKey(41)
+    x0 = jax.random.normal(jax.random.PRNGKey(42), (BATCH, DIM))
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    bnd = lambda x: -0.6 * jnp.sum((x - 0.1) ** 2, axis=-1)
+    k_z, _ = jax.random.split(key)
+    zs = jax.random.normal(k_z, (K, BATCH, DIM))
+    ito = getattr(loss, "fused_train_ito", True)
+
+    def loss_scan(p):
+        cf = lambda t, x: ctrl.apply(p, t, x)
+        if family == "dds":
+            x_t, rnd, _ = loss.simulate(jax.random.PRNGKey(0), ts, x0, cf,
+                                        term, bnd, compute_ito_int=ito,
+                                        change_sde_ctrl=False, noise=zs)
+        else:
+            x_t, rnd, _ = loss.simulate(jax.random.PRNGKey(0), ts, x0, cf,
+                                        term, initial_log_prob=bnd,
+                                        train=True, change_sde_ctrl=False,
+                                        noise=zs)
+        return loss.reduce(rnd, samples=x_t)[0]
+
+    def loss_fused(p):
+        cfg, arrays = build_plan(loss, ctrl, p, ts, ito=ito)
+        fn = lambda x0_, zs_: fused_kl_traj(cfg, None, arrays, x0_, zs_)
+        if family == "dds":
+            return loss.kl_fused_call(key, ts, x0, None, term, bnd,
+                                      traj_rnd_fn=fn)[0]
+        return loss.kl_fused_call(key, ts, x0, None, term,
+                                  initial_log_prob=bnd, traj_rnd_fn=fn)[0]
+
+    v_scan, g_scan = jax.value_and_grad(loss_scan)(params)
+    v_fused, g_fused = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(v_fused, v_scan, rtol=1e-5, atol=1e-5)
+    for gf, gs in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_scan)):
+        # f32 accumulation-order noise scales with the leaf's magnitude
+        # (DIS KL gradients reach ~5e3); tolerate 3e-6 of the leaf scale
+        np.testing.assert_allclose(gf, gs, rtol=3e-4,
+                                   atol=2e-5 + 3e-6 * float(jnp.abs(gs).max()))
+
+
+@pytest.mark.parametrize("family", ["dds", "dis"])
+def test_lv_flat_traj_fn_dds_dis(family):
+    """The DDS/DIS flat-LV paths accept the fused kernel's (xs, x_T) and
+    reproduce the scan-states result exactly (value and gradient)."""
+    from sde_sampler_lrds_tpu.ops.fused_traj import (build_plan,
+                                                     fused_traj_states)
+
+    setup = _setup_dds if family == "dds" else _setup_dis
+    loss, ctrl, params, _, ts = setup(method="lv")
+    key = jax.random.PRNGKey(51)
+    x0 = jax.random.normal(jax.random.PRNGKey(52), (BATCH, DIM))
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    bnd = lambda x: -0.6 * jnp.sum((x - 0.1) ** 2, axis=-1)
+    kw = ({"reference_log_prob": bnd} if family == "dds"
+          else {"initial_log_prob": bnd})
+
+    def loss_flat(p, use_kernel):
+        cf = lambda t, x: ctrl.apply(p, t, x)
+        traj_fn = None
+        if use_kernel:
+            cfg, arrays = build_plan(loss, ctrl,
+                                     jax.lax.stop_gradient(p), ts)
+            traj_fn = lambda x0_, zs_: fused_traj_states(cfg, arrays,
+                                                         x0_, zs_)
+        return loss.lv_flat_call(key, ts, x0, cf, term, traj_fn=traj_fn,
+                                 **kw)[0]
+
+    v_scan, g_scan = jax.value_and_grad(lambda p: loss_flat(p, False))(params)
+    v_kern, g_kern = jax.value_and_grad(lambda p: loss_flat(p, True))(params)
+    np.testing.assert_allclose(v_kern, v_scan, rtol=1e-5, atol=1e-5)
+    for gf, gs in zip(jax.tree.leaves(g_kern), jax.tree.leaves(g_scan)):
+        np.testing.assert_allclose(gf, gs, rtol=3e-4,
+                                   atol=2e-5 + 3e-6 * float(jnp.abs(gs).max()))
