@@ -140,6 +140,16 @@ def main(bf16: bool = False):
         metrics, train_time = run_train()
     train_loss = float(metrics["train/loss"])
 
+    def is_stats(r):
+        """(log_norm_const_is, normalized ESS) via the package's own
+        estimator code — the parity gate and the quality report must use
+        the exact definitions compute_results uses."""
+        from sde_sampler_lrds_tpu.losses.base import compute_results
+        res = compute_results(r, compute_weights=True)
+        w = res.weights
+        ess = float(w.sum() ** 2 / (w**2).sum()) / r.shape[0]
+        return float(res.log_norm_const_preds["log_norm_const_is"]), ess
+
     # ---- timed eval sampling (8192 x 100 steps) -------------------------
     params = solver.state.ema_params
     ctrl_fn = solver.ctrl_fn(params)
@@ -186,15 +196,12 @@ def main(bf16: bool = False):
             xf, rf = fused(jax.random.PRNGKey(10))
             jax.block_until_ready((xf, rf))
             fused_time, (xf, rf) = time_sampler(fused)
-            lz = lambda r: float(jax.scipy.special.logsumexp(-r)
-                                 - jnp.log(r.shape[0]))
-            essf = lambda r: float(jax.nn.softmax(-r).sum() ** 2
-                                   / (jax.nn.softmax(-r) ** 2).sum()) / r.shape[0]
+            lz_f, ess_f = is_stats(rf)
+            lz_s, ess_s = is_stats(rnd)
             fused_stats = {"fused_sample_time_s": fused_time,
-                           "fused_log_z": lz(rf), "fused_ess": essf(rf),
-                           "scan_log_z": lz(rnd), "scan_ess": essf(rnd)}
-            parity = (abs(lz(rf) - lz(rnd)) < 0.05
-                      and abs(essf(rf) - essf(rnd)) < 0.1)
+                           "fused_log_z": lz_f, "fused_ess": ess_f,
+                           "scan_log_z": lz_s, "scan_ess": ess_s}
+            parity = abs(lz_f - lz_s) < 0.05 and abs(ess_f - ess_s) < 0.1
             if fused_time < sample_time and parity:
                 sample_time, x, rnd, path = fused_time, xf, rf, "fused"
                 throughput = EVAL_BATCH * K_STEPS / sample_time
@@ -202,13 +209,10 @@ def main(bf16: bool = False):
             print(f"fused path unavailable: {e!r}", file=sys.stderr)
 
     # ---- quality metrics (stderr) ---------------------------------------
-    neg = -rnd
-    log_z = float(jax.scipy.special.logsumexp(neg) - jnp.log(neg.shape[0]))
-    w = jax.nn.softmax(neg)
-    ess = float(w.sum() ** 2 / (w**2).sum()) / EVAL_BATCH
+    log_z, ess = is_stats(rnd)
     mode_counts = target.compute_mode_count(x)
     quality = {
-        "eval/elbo": float(neg.mean()),
+        "eval/elbo": float(-rnd.mean()),
         "eval/log_norm_const_is": log_z,
         "eval/norm_ess": ess,
         "eval/lv_loss": float(rnd.var(ddof=1)),

@@ -9,6 +9,8 @@ The scaling loop is a ``lax.while_loop`` with the reference's stopping rule.
 """
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 
@@ -200,7 +202,11 @@ class Sinkhorn:
             except Exception:
                 if self.backend == "pallas":
                     raise
-                # auto: a kernel-compilation failure must not take eval down
+                # auto: a kernel-compilation failure must not take eval
+                # down — but leave a trace (this also catches genuine input
+                # errors, which the fallback path will re-raise on)
+                logging.warning("Pallas Sinkhorn failed; falling back",
+                                exc_info=True)
         if self.backend in ("native", "auto"):
             val = self.compute_native(x, y, w_x=w_x, w_y=w_y)
             if val is not None:

@@ -424,7 +424,18 @@ def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
     b, d = x0.shape
     k, h, c = cfg.k_steps, cfg.channels, cfg.n_comp
     n_h, b_t = cfg.n_hidden, cfg.block_b
-    grid = (b // b_t,)
+    # Pad a non-tile-multiple batch up to the next tile boundary instead of
+    # shrinking the tile to a divisor (which collapsed e.g. the default
+    # eval batch 6000 to 16-row programs): padded rows simulate an extra
+    # <1-tile of throwaway trajectories (rows are independent in the
+    # kernel) and are sliced off below.
+    pad = -b % b_t
+    if pad:
+        x0 = jnp.pad(x0, ((0, pad), (0, 0)))
+        if use_noise_input:
+            seed_or_noise = jnp.pad(seed_or_noise, ((0, 0), (0, pad), (0, 0)))
+    bp = b + pad
+    grid = (bp // b_t,)
     bcast = lambda *blk: pl.BlockSpec(blk, lambda i: (0,) * len(blk),
                                       memory_space=pltpu.VMEM)
     in_specs = [
@@ -447,12 +458,12 @@ def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((b_t, 1), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((b, d), jnp.float32),
-                 jax.ShapeDtypeStruct((b, 1), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((bp, d), jnp.float32),
+                 jax.ShapeDtypeStruct((bp, 1), jnp.float32)]
     if return_traj:
         out_specs.append(pl.BlockSpec((k, b_t, d), lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((k, b, d), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((k, bp, d), jnp.float32))
     operands = [x0, arrays["coefs"], arrays["embed"], arrays["w0"],
                 arrays["b0"], arrays["wh"], arrays["bh"], arrays["w_out"],
                 arrays["b_out"], arrays["ref_const"], arrays["ref_m"],
@@ -467,8 +478,8 @@ def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
         out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
     )(*operands, seed_or_noise)
-    x_t, rnd = out[0], out[1]
-    xs = out[2] if return_traj else None
+    x_t, rnd = out[0][:b], out[1][:b]
+    xs = out[2][:, :b] if return_traj else None
     return x_t, rnd[:, 0], xs
 
 
@@ -731,10 +742,12 @@ def fused_traj_states_sharded(mesh, cfg: FusedTrajCfg, arrays: dict, x0,
 
 
 def adapt_block(cfg: FusedTrajCfg, batch: int) -> FusedTrajCfg:
-    """Shrink block_b to a divisor of the batch (sublane-aligned)."""
-    b_t = min(cfg.block_b, batch)
-    while batch % b_t:
-        b_t //= 2
+    """Clamp block_b to the batch (rounded up to the f32 sublane multiple
+    of 8). Batches that are not a tile multiple are NOT shrunk to a divisor
+    — ``_fused_traj`` pads the last partial tile and slices it back off, so
+    a 6000-row eval still runs full 2048-row tiles rather than 375 16-row
+    programs."""
+    b_t = min(cfg.block_b, (batch + 7) // 8 * 8)
     if b_t != cfg.block_b:
         cfg = dataclasses.replace(cfg, block_b=b_t)
     return cfg

@@ -336,6 +336,14 @@ class TrainableDiff(Trainable):
                 x0 = constrain_batch(x0, self.mesh)
                 return fused_simulate_sharded(self.mesh, cfg, arrays, k_s,
                                               x0, **args)
+            if jax.default_backend() != "tpu":
+                # interpret mode lacks the on-core PRNG — draw host noise
+                # (same fallback as _eval_sim_fused) so the returned sampler
+                # honors the None-or-working contract off-TPU too
+                zs = jax.random.normal(
+                    k_s, (self.eval_ts.shape[0] - 1, *x0.shape))
+                return fused_simulate(cfg, arrays, None, x0, noise=zs,
+                                      **args)
             return fused_simulate(cfg, arrays, k_s, x0, **args)
 
         return sample
@@ -462,6 +470,12 @@ class CMCD(TrainableDiff):
             diff_coeff=self.sde.diff_coeff, terminal_t=self.sde.terminal_t)
         self.inference_sde = self.sde
         self.loss = self.loss_cls(sde=self.sde, **self.loss_kwargs)
+        # cached eval jits (and the fused-eligibility verdict) close over
+        # the pre-refit loss/SDE/prior — drop them, and rebuild the jitted
+        # train step if training already started
+        self._eval_jit_cache = {}
+        if getattr(self, "state", None) is not None:
+            self._train_step = self.build_train_step()
 
     def loss_call_args(self, use_ema: bool = False) -> dict:
         return {"terminal_unnorm_log_prob": self.clipped_target_unnorm_log_prob,

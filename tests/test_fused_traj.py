@@ -931,3 +931,65 @@ def test_lv_flat_traj_fn_dds_dis(family):
     for gf, gs in zip(jax.tree.leaves(g_kern), jax.tree.leaves(g_scan)):
         np.testing.assert_allclose(gf, gs, rtol=3e-4,
                                    atol=2e-5 + 3e-6 * float(jnp.abs(gs).max()))
+
+
+def test_fused_nontile_batch_pads_not_shrinks():
+    """A batch that is not a tile multiple pads the last tile (and slices
+    it back off) instead of collapsing block_b to a tiny divisor — the
+    default eval_batch_size=6000 regression (it used to run 16-row
+    programs). Parity vs the scan under common noise, and the trajectory
+    output is sliced to the true batch."""
+    from sde_sampler_lrds_tpu.ops.fused_traj import (adapt_block,
+                                                     fused_traj_states)
+
+    loss, ctrl, params, ctrl_fn, ts = _setup(EIReferenceSDELoss)
+    plan = build_plan(loss, ctrl, params, ts, block_b=32)
+    assert plan is not None
+    cfg, arrays = plan
+    batch = 60  # one full 32-row tile + one padded 28-row tail
+    assert adapt_block(cfg, batch).block_b == 32
+    k_x, k_z = jax.random.split(jax.random.PRNGKey(21))
+    x0 = jax.random.normal(k_x, (batch, DIM))
+    noise = jax.random.normal(k_z, (K, batch, DIM))
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    ref_lp = lambda x: -0.6 * jnp.sum((x - 0.1) ** 2, axis=-1)
+    x_f, r_f = fused_simulate(cfg, arrays, None, x0, term, ref_lp,
+                              noise=noise)
+    x_s, r_s, _ = loss.simulate(jax.random.PRNGKey(7), ts, x0, ctrl_fn,
+                                term, ref_lp, change_sde_ctrl=False,
+                                noise=noise)
+    assert x_f.shape == (batch, DIM) and r_f.shape == (batch,)
+    np.testing.assert_allclose(x_f, x_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(r_f, r_s, rtol=2e-5, atol=2e-4)
+    xs, x_t = fused_traj_states(cfg, arrays, x0, noise)
+    assert xs.shape == (K, batch, DIM)
+    np.testing.assert_allclose(x_t, x_s, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_eval_sampler_works_off_tpu():
+    """fused_eval_sampler's contract is None-or-working: on a non-TPU
+    backend the returned sampler must draw host noise (interpret mode has
+    no on-core PRNG) rather than raise at first call."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from sde_sampler_lrds_tpu.solvers import RDS
+    from sde_sampler_lrds_tpu.solvers.base import TrainConfig
+    from sde_sampler_lrds_tpu.targets import Gauss, IsotropicGauss
+
+    target = Gauss(dim=DIM, loc=0.3, scale=1.2)
+    prior = IsotropicGauss(dim=DIM, loc=0.0, scale=1.0)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    ctrl = ClippedCtrl(base_model=FourierMLP(dim=DIM, zero_init=True),
+                       clip_model=1e4)
+    cfg = TrainConfig(train_steps=2, train_batch_size=32,
+                      eval_batch_size=64, lr=1e-3)
+    s = RDS(target, prior, sde, ctrl, EIReferenceSDELoss,
+            {"method": "lv", "max_rnd": 1e8},
+            train_ts=get_timesteps(0.0, 1.0, steps=K), cfg=cfg)
+    s.setup()
+    s.mesh = Mesh(_np.array(jax.devices()[:1]), ("dp",))
+    sampler = s.fused_eval_sampler(block_b=32)
+    assert sampler is not None
+    x, rnd = sampler(jax.random.PRNGKey(5))
+    assert x.shape == (64, DIM) and rnd.shape == (64,)
+    assert bool(jnp.isfinite(x).all()) and bool(jnp.isfinite(rnd).all())

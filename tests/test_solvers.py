@@ -145,6 +145,31 @@ def test_cmcd_end_to_end():
     run_short(solver, n=5)
 
 
+def test_cmcd_update_prior_invalidates_cached_eval():
+    """update_prior swaps loss/sde/prior in place; the cached eval jits
+    (and the jitted train step) close over the old ones and must be
+    dropped, or post-refit evals silently run the pre-refit annealing
+    path."""
+    target = Gauss(dim=2, loc=0.4, scale=1.1)
+    prior = Gauss(dim=2, loc=0.0, scale=2.0)
+    solver = CMCD(target, prior, None, make_ctrl(), ControlledLangevinSDELoss,
+                  {"method": "lv", "max_rnd": 1e8},
+                  train_ts=get_timesteps(0.0, 1.0, steps=8), cfg=CFG)
+    solver.setup()
+    res_before = solver.evaluate(jax.random.PRNGKey(3))
+    assert solver._eval_jit_cache
+    old_step = solver._train_step
+    solver.update_prior(jnp.asarray([0.4, 0.4]), jnp.asarray([1.2, 1.2]))
+    assert not solver._eval_jit_cache
+    assert solver._train_step is not old_step
+    res_after = solver.evaluate(jax.random.PRNGKey(3))
+    # same key, different prior/annealing path -> different estimate
+    assert (res_after.metrics["eval/elbo"]
+            != res_before.metrics["eval/elbo"])
+    m = solver.step(jax.random.PRNGKey(4))
+    assert np.isfinite(float(m["train/loss"]))
+
+
 def test_langevin_solver():
     target = Gauss(dim=2, loc=0.5, scale=1.0, n_reference_samples=10_000)
     prior = IsotropicGauss(dim=2, scale=2.0)
