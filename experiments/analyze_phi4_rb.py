@@ -8,8 +8,9 @@ Rao-Blackwellized weight (targets/phi_four.py:compute_phi_four_weight_rb)
 recomputed from the saved samples. Ground truth is the exact
 transfer-matrix weight, ``true_weight_tm`` in ``target.expectations``
 (1.0733 at a=0.1, b=0.02, dim=100; targets/phi_four.py:
-compute_stats_transfer_matrix). The Laplace-corrected energy ratio both
-repos previously used (1.348) is ~26% high — do not compare against it.
+compute_stats_transfer_matrix). The Laplace-corrected oracle agrees to
+0.12% (1.0745) now that its Hessian is fixed; the 1.348 figure earlier
+rounds compared against was a Hessian-bug artifact — do not use it.
 
 With ``--distances`` it also computes Sinkhorn/MMD/sliced-KS of the saved
 samples against exact FFBS ground truth (the per-eval-seed passes the

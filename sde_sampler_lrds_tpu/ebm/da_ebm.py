@@ -140,7 +140,11 @@ class DAEBM:
                 batch = data[perm[b * batch_size:(b + 1) * batch_size]]
                 key, k_lvl, k_noise, k_idx, k_gibbs = jax.random.split(key, 5)
                 # positives at random levels (da_ebm.py:148-151)
-                ks_pos = jax.random.randint(k_lvl, (batch_size,), 0, self.n_steps)
+                # positives cover ALL times.shape[0] = n_steps+1 noise
+                # levels incl. the terminal one (da_ebm.py:148) — the Gibbs
+                # sampler visits it, so it needs a positive anchor too
+                ks_pos = jax.random.randint(k_lvl, (batch_size,), 0,
+                                            self.times.shape[0])
                 ts_p = self.times[ks_pos]
                 s_t = self.sde.s(ts_p)[:, None]
                 std = s_t * jnp.sqrt(self.sde.sigma_sq(ts_p))[:, None]

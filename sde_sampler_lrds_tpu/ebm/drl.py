@@ -140,6 +140,9 @@ class DiffusionRecoveryLikelihood:
             for b in range(n_batches):
                 batch = data[perm[b * batch_size:(b + 1) * batch_size]]
                 key, k_lvl, k_pair, k_mcmc = jax.random.split(key, 4)
+                # exclusive-high n_steps-1 mirrors the reference's
+                # randint(0, n_steps-1) (drl.py:148): the top transition
+                # index n_steps-1 is never drawn there either
                 ks = jax.random.randint(k_lvl, (batch.shape[0],), 0, self.n_steps - 1)
                 x_k_pos, x_k_p_1 = self.sample_noise_process_pairs(k_pair, ks, batch)
                 y_last, ys, accs = self.conditional_sample(

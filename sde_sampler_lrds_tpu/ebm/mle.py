@@ -104,7 +104,12 @@ class MaximumLikelihoodEBM:
                 precond_matrix_per_noise=self.precond_matrix_per_noise,
                 precond_matrix_chol_per_noise=self.precond_matrix_chol_per_noise,
                 use_ula=self.use_ula)
-            xs_neg = jnp.swapaxes(samples, 0, 1).reshape(-1, samples.shape[-1])
+            # level-major flatten: each level's n_mcmc*B rows stay
+            # consecutive, matching ts_neg = repeat(times, ...) below
+            # (the reference reshapes its (L, n_kept, B, D) buffer the same
+            # way, ebm_mle.py:733; a step-major swapaxes here mislabeled
+            # negatives' noise levels whenever n_kept > 1)
+            xs_neg = samples.reshape(-1, samples.shape[-1])
             return xs_neg, new_ss, persistent, diags
         if self.sampler_type == "replica_exchange":
             # persistent replicas: an (L, B, D) array on the first call, the
@@ -138,7 +143,15 @@ class MaximumLikelihoodEBM:
         state, (samples, accs) = _mcmc_scan(
             k_run, state, local_lpg, n_warmup + n_mcmc, self.use_ula,
             self.target_acceptance, collect=True)
-        xs_neg = samples[n_warmup:].reshape(-1, xs_pos.shape[-1])
+        # (n_kept, L, B, D) -> level-major rows to match ts_neg (the
+        # reference's cd branch flattens its buffer step-major against a
+        # level-major ts_neg, ebm_mle.py:537,733 — mislabeled levels for
+        # n_kept > 1; defect not replicated)
+        dim = xs_pos.shape[-1]
+        xs_neg = (samples[n_warmup:]
+                  .reshape(n_mcmc, L, -1, dim)
+                  .swapaxes(0, 1)
+                  .reshape(-1, dim))
         return xs_neg, state.step_size, persistent, {"acc": accs.mean()}
 
     # -- training --------------------------------------------------------------

@@ -161,7 +161,13 @@ def smc_sampler(
         # --- reweight + ESS-gated resampling ------------------------------
         if reweight_threshold > 0.0:
             if use_pdds_weights:
-                log_w_new = (lp - lp_prev) + lw_trans
+                # accumulate onto the carried weights like the non-PDDS
+                # branch: when ESS stays above threshold and no resampling
+                # happens, weights must carry across levels or the SMC
+                # estimator is biased (the reference's PDDS branch drops
+                # them, ebm_mle.py:106-107 `log_weights = ...` vs `+=`;
+                # defect not replicated)
+                log_w_new = log_w + (lp - lp_prev) + lw_trans
             else:
                 log_w_new = log_w + (lp - lp_prev)
             log_w_new = jnp.where(is_first, jnp.zeros_like(log_w_new), log_w_new)

@@ -35,13 +35,6 @@ class Checkerboard(Target):
             weights[np.arange(self.n_mixtures) % 2 == 0] *= 3
         self.mixture_weights = jnp.asarray(weights, jnp.float32)
         self._probs = self.mixture_weights / self.mixture_weights.sum()
-        # Mask selecting board squares out of the (4, width) histogram grid.
-        self.hist_mask = np.stack([
-            np.arange(self.width) % 2 == 0,
-            np.arange(self.width) % 2 == 1,
-            np.arange(self.width) % 2 == 0,
-            np.arange(self.width) % 2 == 1,
-        ], axis=0)
         if self.domain is None:
             self.set_domain(jnp.asarray([[-4.0, -4.0 + 2 * self.width], [-4.0, 4.0]]))
 
@@ -80,20 +73,31 @@ class Checkerboard(Target):
         return True
 
     def compute_mode_count(self, samples: jnp.ndarray) -> np.ndarray:
-        d = np.asarray(self.domain)
-        counts, _, _ = np.histogram2d(
-            np.asarray(samples[:, 0]), np.asarray(samples[:, 1]),
-            bins=(self.width, 4), range=((d[0, 0], d[0, 1]), (d[1, 0], d[1, 1])),
-        )
-        return counts.T
+        """Per-square sample counts in the same order `_extremal_points`
+        enumerates the squares (= the order of `_probs`). Counting each
+        square's box directly keeps the alignment for every width — the
+        earlier (4, width) histogram + parity mask flattened bottom-row
+        first and mis-paired squares with `_probs` for width ≡ 2 (mod 4)."""
+        s = np.asarray(samples)[:, None, :]
+        inside = np.all((s >= np.asarray(self.low)[None])
+                        & (s <= np.asarray(self.high)[None]), axis=-1)
+        return inside.sum(axis=0).astype(np.float64)
 
     def _board_hist(self, counts):
-        return counts[self.hist_mask].flatten() / counts.sum()
+        # normalized over on-board mass (the reference divides by all
+        # in-domain samples, checkerboard.py:106 — identical for on-board
+        # samplers; off-board terminal samples already zero the IS metrics)
+        return counts / counts.sum()
 
     def entropy(self, samples, counts=None):
         counts = self.compute_mode_count(samples) if counts is None else counts
         hist = self._board_hist(counts)
-        return -np.sum(hist * np.log(hist) / math.log(counts.shape[0]))
+        # the log(4) normalizer replicates the reference's
+        # log(counts.shape[0]) with its (4, width) histogram
+        # (checkerboard.py:108); 0*log0 = 0 for empty squares
+        from scipy.special import xlogy
+
+        return -np.sum(xlogy(hist, hist)) / math.log(4.0)
 
     def kl_weights(self, samples, counts=None):
         counts = self.compute_mode_count(samples) if counts is None else counts

@@ -224,7 +224,11 @@ class GMM(Target):
         if counts is None:
             counts = self.compute_mode_count(samples)
         hist = counts / counts.sum()
-        return -jnp.sum(hist * jnp.log(hist) / math.log(self.n_mixtures))
+        # xlogy: a mode with ZERO samples contributes 0, not 0*(-inf)=NaN
+        # (the reference NaNs here, distr/gauss.py:263 — exactly when the
+        # mode-coverage metric matters most; defect not replicated)
+        return -jnp.sum(jax.scipy.special.xlogy(hist, hist)) / math.log(
+            self.n_mixtures)
 
     def kl_weights(self, samples, counts=None):
         if counts is None:

@@ -5,11 +5,14 @@ U(φ) = a·d·Σ(∇φ)²/2 + Σ[(1-φ²)²/4 + b·φ]/(a·d), Gibbs density e^{
 
 Two oracles:
   * the reference's Laplace approximation at the two energy minima
-    (phi_four.py:105-122) — kept for parity as ``true_weight_cor``, but at
-    the paper protocol (a=0.1, b=0.02, dim=100) it overestimates the
-    inter-well weight by ~26% (1.348 vs the exact 1.073): the b-tilted
-    wells have compensating depth/width differences that a second-order
-    expansion mis-captures (verified against dense quadrature in 2-d);
+    (phi_four.py:105-122), kept for parity as ``true_weight_cor``. With
+    the correct Hessian it lands within 0.12% of the exact value at the
+    paper protocol (1.0745 vs 1.0733 at a=0.1, b=0.02, dim=100). The
+    raw energy-difference ratio ``true_weight`` (no curvature correction)
+    is 1.385 — the curvature term matters. (An earlier revision's Hessian
+    had a 3·coef diagonal instead of 2·coef and reported 1.348 for the
+    "corrected" value; that number was an artifact of that bug, not a
+    property of the Laplace approximation.)
   * an EXACT transfer-matrix oracle (this module, no reference
     equivalent): the 1-d Dirichlet chain is a nearest-neighbour Markov
     field, so the partition function, any site marginal — hence the
@@ -92,8 +95,17 @@ class PhiFour(Target):
 
     # -- Laplace-approximation oracle (phi_four.py:98-122) -----------------
     def hessian(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.dim_phys != 1:
+            # 2-d lattices have 4 bonds per site, not the 1-d band — use
+            # the autodiff Hessian of U (exact for any topology/BC)
+            return jax.hessian(lambda y: self.U(y[None])[0])(x)
+        # Diagonal 2*coef: each site sits in exactly two Dirichlet bonds
+        # (matches grad_U's 2x - neighbors term and the finite-difference
+        # Hessian of U). The reference's band subtraction
+        # (phi_four.py:98-102) also removes coef from its 3*coef diagonal,
+        # netting the same 2*coef.
         d = x.shape[-1]
-        h = jnp.eye(d) * (3 * self.coef + (3 * x**2 - 1) / self.coef)
+        h = jnp.eye(d) * (2 * self.coef + (3 * x**2 - 1) / self.coef)
         off = jnp.eye(d, k=1) + jnp.eye(d, k=-1)
         return h - self.coef * off
 

@@ -89,7 +89,9 @@ class Rings(Target):
     def entropy(self, samples, counts=None):
         counts = self.compute_mode_count(samples) if counts is None else counts
         hist = counts / counts.sum()
-        return -jnp.sum(hist * jnp.log(hist) / math.log(self.n_mixtures))
+        # 0*log0 = 0 for empty modes (see targets/gauss.py entropy)
+        return -jnp.sum(jax.scipy.special.xlogy(hist, hist)) / math.log(
+            self.n_mixtures)
 
     def kl_weights(self, samples, counts=None):
         counts = self.compute_mode_count(samples) if counts is None else counts

@@ -288,3 +288,52 @@ def test_mle_ebm_select_fn_tracks_best_checkpoint():
     # the stored params really are the ones that scored best
     assert select_fn(trainer.best_params) == pytest.approx(trainer.best_score,
                                                            rel=1e-6)
+
+
+def test_negative_flatten_is_level_major(monkeypatch):
+    """sample_negatives must flatten its (L, n_kept, B, D) buffer
+    level-major so ts_neg = repeat(times, n_kept*B) labels every negative
+    with its own noise level (a step-major swapaxes mislabeled levels for
+    n_kept > 1). Checked for both the smc and cd branches by encoding the
+    level into the sample values."""
+    import sde_sampler_lrds_tpu.ebm.mle as mle_mod
+
+    sde = VP()
+    prior = Gauss(dim=2, loc=0.0, scale=1.0)
+    pot = make_potential(sde)
+    L, n_kept, B, D = 6, 3, 4, 2
+
+    trainer = MaximumLikelihoodEBM(sde, prior, pot, sampler_type="smc",
+                                   step_sizes_per_noise=1e-2, n_steps=L - 1)
+    trainer.init_params(jax.random.PRNGKey(0), D)
+    assert trainer.times.shape[0] == L
+
+    def fake_smc(key, x_init, times, lpg, **kw):
+        # value-code the level into every sample of that level
+        lvl = jnp.arange(L, dtype=jnp.float32)[:, None, None, None]
+        return (jnp.broadcast_to(lvl, (L, kw["n_mcmc_steps"], B, D)),
+                kw["step_sizes_per_noise"], {})
+
+    monkeypatch.setattr(mle_mod, "smc_sampler", fake_smc)
+    xs_neg, _, _, _ = trainer.sample_negatives(
+        trainer.params, jax.random.PRNGKey(1), B,
+        jnp.full((L, 1), 1e-2), n_warmup=0, n_mcmc=n_kept)
+    ts_neg_level = jnp.repeat(jnp.arange(L), xs_neg.shape[0] // L)
+    np.testing.assert_array_equal(np.asarray(xs_neg[:, 0]),
+                                  np.asarray(ts_neg_level, dtype=np.float32))
+
+    # cd branch: positives are level-coded; ULA with step 0 keeps values
+    trainer_cd = MaximumLikelihoodEBM(sde, prior, pot, sampler_type="cd",
+                                      step_sizes_per_noise=0.0,
+                                      n_steps=L - 1, use_ula=True,
+                                      target_acceptance=-1.0)
+    trainer_cd.init_params(jax.random.PRNGKey(0), D)
+    xs_pos = jnp.repeat(jnp.arange(L, dtype=jnp.float32), B)[:, None]
+    xs_pos = jnp.concatenate([xs_pos, xs_pos], axis=-1)
+    xs_neg, _, _, _ = trainer_cd.sample_negatives(
+        trainer_cd.params, jax.random.PRNGKey(1), B,
+        jnp.full((L, B), 0.0), n_warmup=0, n_mcmc=n_kept, xs_pos=xs_pos)
+    ts_neg_level = jnp.repeat(jnp.arange(L), xs_neg.shape[0] // L)
+    np.testing.assert_allclose(np.asarray(xs_neg[:, 0]),
+                               np.asarray(ts_neg_level, dtype=np.float32),
+                               atol=1e-6)
