@@ -263,6 +263,15 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
             # force_base_zero_init=True for the conf/solver/cmcd.yaml default.
             if solver_type == "cmcd" and model_type == "base_zero_init":
                 raise ValueError("Only base_zero_init is supported for CMCD.")
+        if solver_type == "cmcd" and model_type in (
+                "target_informed_lerp_tempering",
+                "target_informed_langevin_init"):
+            # these reparametrizations read sde.terminal_t/drift/diff, but
+            # CMCD builds its ControlledLangevinSDE inside setup_models
+            # (and rebuilds it on update_prior) — the ctrl would hold
+            # sde=None and crash at the first forward pass
+            raise ValueError(f"model_type {model_type!r} is not supported "
+                             f"for CMCD (needs a static SDE object).")
         if time_type != "uniform":
             raise ValueError("Only uniform time discretisation is supported for orig/cmcd models.")
         if integrator_type != "em":
@@ -519,7 +528,10 @@ def fit_gmm(n_components: int, dataset, means_init=None, em_type: str = "diag",
     """
     data = np.asarray(dataset).reshape(-1, np.asarray(dataset).shape[-1])
     last_err = None
-    regs = (1e-6, 5e-5, 1e-5, 5e-4, 1e-4, 5e-3, 1e-3, 5e-2, 1e-2)
+    # ascending regularization: weakest first, strongest as last resort
+    # (the reference's list swaps each magnitude pair — 5e-5 before 1e-5
+    # etc., benchmark_utils.py:338 — an evident typo'd escalation)
+    regs = (1e-6, 1e-5, 5e-5, 1e-4, 5e-4, 1e-3, 5e-3, 1e-2, 5e-2)
     # jax backend first, then the sklearn fitter as a genuinely different
     # retry (weight collapse is seeding-dependent, not reg-dependent)
     attempts = [("jax", r) for r in regs] + [("sklearn", r) for r in regs] \

@@ -20,7 +20,11 @@ def _proj_cdf(samples, projs, n_bins, min_x, max_x, weights=None):
     in_range = (z >= min_x[:, None]) & (z <= max_x[:, None])
     wmat = jnp.broadcast_to(w[None, :], z.shape) * in_range
     hist = jax.vmap(lambda i, wm: jnp.zeros(n_bins).at[i].add(wm))(idx, wmat)
-    hist = hist / hist.sum(-1, keepdims=True)
+    # out-of-range mass is dropped and each histogram renormalized over its
+    # in-range sum — the reference's torch.histogram semantics (ks.py:30-32).
+    # Guard the all-out-of-range projection: a zero histogram yields a zero
+    # CDF (max gap ~1 against the other set) instead of 0/0 = NaN.
+    hist = hist / jnp.maximum(hist.sum(-1, keepdims=True), 1e-30)
     return jnp.cumsum(hist, axis=-1)
 
 

@@ -190,11 +190,17 @@ class Sinkhorn:
 
     def __call__(self, x, y, w_x=None, w_y=None):
         if self.n_max is not None:
+            # renormalize truncated weights: balanced Sinkhorn needs equal
+            # marginal mass, and a truncated softmax sums to <1 by a
+            # side-dependent amount (the reference instead raises on
+            # unequal sums, sinkhorn.py:126-133)
             x, y = x[: self.n_max], y[: self.n_max]
             if w_x is not None:
                 w_x = w_x[: self.n_max]
+                w_x = w_x / w_x.sum()
             if w_y is not None:
                 w_y = w_y[: self.n_max]
+                w_y = w_y / w_y.sum()
         on_tpu = jax.default_backend() == "tpu"
         if self.backend == "pallas" or (self.backend == "auto" and on_tpu):
             try:

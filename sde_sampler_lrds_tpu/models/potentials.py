@@ -211,7 +211,12 @@ class BetterPotentialCtrl(nn.Module):
         if self.energy_type == "sq_norm":
             return ret + 0.5 * coef_t * jnp.sum(jnp.square(net), axis=-1)
         if self.energy_type == "residual_sq_norm":
-            coef = coef_t[:, None] if self.use_s_t_scaling else 1.0
+            # coef_t is the s(t) column only under the gaussian prior;
+            # without it it is the scalar 1.0 (reparam.py:250-254) and
+            # must not be indexed
+            coef = 1.0
+            if self.use_s_t_scaling and self.use_gaussian_prior:
+                coef = coef_t[:, None]
             return 0.5 * jnp.sum(jnp.square(coef * net - x_scaled), axis=-1)
         return ret + coef_t * jnp.sum(net, axis=-1)
 

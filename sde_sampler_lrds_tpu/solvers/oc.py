@@ -350,6 +350,11 @@ class TrainableDiff(Trainable):
 
     def compute_eubo(self, key: jax.Array, x_target: jnp.ndarray,
                      use_ema: bool = True) -> jnp.ndarray:
+        if not self.eubo_available or getattr(self.loss, "compute_eubo", None) is None:
+            raise NotImplementedError(
+                f"EUBO is not defined for {type(self).__name__} with "
+                f"{type(self.loss).__name__} (e.g. the DDPM-like integrator "
+                f"has no reverse pass)")
         params = self.state.ema_params if (use_ema and self.cfg.use_ema) else self.state.params
         return self.loss.compute_eubo(key, self.eval_ts, x_target,
                                       self.ctrl_fn(params), **self.loss_call_args())
@@ -613,6 +618,10 @@ class RDS(TrainableDiff):
         kwargs["reference_ctrl"] = self.reference_score_t
         self.loss = self.loss_cls(sde=self.sde, **kwargs)
         self._eval_jit_cache = {}  # old jits close over the stale loss
+        # a reference switch after training started must also retrace the
+        # train step, whose closure holds the old reference tables
+        if getattr(self, "state", None) is not None:
+            self._train_step = self.build_train_step()
 
     def change_reference_type(self, ref_type: str = "default", net=None, eps=None,
                               mean=None, var=None, means=None, variances=None,

@@ -34,10 +34,20 @@ def evaluate_eubo(trainable, results: Results, compute_eubo_last_arg, key,
     rnd_target = trainable.loss.compute_eubo(
         k_sim, trainable.eval_ts, x_target, trainable.ctrl_fn(params), **args)
     neg = -rnd_target
-    weights = jax.nn.softmax(neg)
+    # rnd = log(Q/P_bar) along noising paths from target samples, so the
+    # forward (reverse-IS) log-Z estimate uses E_P[exp(+rnd)] = 1/Z:
+    # log Z_f = -(logsumexp(+rnd) - log N) — the reference's
+    # `-rnd_target.logsumexp(0) + log N` (hacking.py:28); an earlier
+    # revision here logsumexp'd -rnd, flipping the estimate's sign
+    # whenever log Z != 0
     results.metrics["eval/log_norm_const_is_f"] = float(
-        -jax.scipy.special.logsumexp(-rnd_target) + math.log(neg.shape[0]))
+        -jax.scipy.special.logsumexp(rnd_target) + math.log(neg.shape[0]))
     results.metrics["eval/eubo"] = float(neg.mean())
+    # forward-ESS weights w ∝ exp(+rnd) = Q/P_bar on P-samples (same
+    # convention as the EBM telemetry's forward ESS, experiments/common.py;
+    # the reference uses softmax(-rnd) here, hacking.py:26 — inverted
+    # weights for its own estimator; defect not replicated)
+    weights = jax.nn.softmax(rnd_target)
     ess = float(1.0 / jnp.sum(weights**2))
     results.metrics["eval/effective_sample_size_f"] = ess
     results.metrics["eval/norm_effective_sample_size_f"] = ess / neg.shape[0]

@@ -104,7 +104,11 @@ def get_timesteps(
         grid = jnp.linspace(start, end**2, steps + 1, dtype=jnp.float32)
         return jnp.clip(jnp.sqrt(grid), max=end)
     if rescale_t == "cosine":
-        # DDS cosine increments: dt_k ∝ cos^4(pi/2 * (u_k + s)/(1 + s))
+        # DDS cosine increments: dt_k ∝ cos^4(pi/2 * (u_k + s)/(1 + s)).
+        # NOTE: returns steps+2 points (steps+1 increments plus the
+        # prepended start) — verbatim reference/DDS behavior
+        # (utils/common.py:63-81, itself copied from the DDS repo), kept
+        # for step-count parity with the reference's DDS protocol.
         s = 0.008
         pre_phase = jnp.linspace(start, end, steps + 1, dtype=jnp.float32) / end
         phase = ((pre_phase + s) / (1 + s)) * jnp.pi * 0.5

@@ -226,3 +226,11 @@ def test_make_model_inference_ctrl_validation():
         make_model("dis_orig", "default", "kl", "em",
                    "target_informed_zero_init", "uniform",
                    inference_ctrl_arch="mlp", **kw)
+
+
+def test_make_model_rejects_sde_models_for_cmcd():
+    kw = dict(solver_details={"sigma": 1.0}, target_details=TARGET,
+              training_details=TRAIN, n_steps=4)
+    for mt in ("target_informed_lerp_tempering", "target_informed_langevin_init"):
+        with pytest.raises(ValueError, match="CMCD"):
+            make_model("cmcd", "default", "kl", "em", mt, "uniform", **kw)

@@ -121,3 +121,31 @@ def test_plots_bundle(tmp_path):
     for name, fig in plots.items():
         save_fig(fig, tmp_path / f"{name.replace('/', '_')}.png")
     assert len(list(tmp_path.glob("*.png"))) == len(plots)
+
+
+def test_sinkhorn_nmax_renormalizes_weights():
+    """Truncating weighted inputs must renormalize both marginals: balanced
+    Sinkhorn needs equal total mass, and a truncated softmax sums < 1 by a
+    side-dependent amount (the distance must match the explicitly
+    renormalized call)."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(4), 3)
+    x = jax.random.normal(k1, (300, 2))
+    y = jax.random.normal(k2, (300, 2)) + 0.5
+    w_y = jax.nn.softmax(jax.random.normal(k3, (300,)))
+    d_trunc = float(Sinkhorn(n_max=200)(x, y, w_y=w_y))
+    w_cut = w_y[:200] / w_y[:200].sum()
+    d_explicit = float(Sinkhorn()(x[:200], y[:200], w_y=w_cut))
+    assert np.isfinite(d_trunc)
+    np.testing.assert_allclose(d_trunc, d_explicit, rtol=1e-5)
+
+
+def test_sliced_ks_disjoint_supports_finite():
+    """Fully disjoint supports: the second set's mass falls outside the
+    first set's projection ranges; the KS must report ~1, not NaN (0/0)."""
+    from sde_sampler_lrds_tpu.eval.ks import compute_sliced_ks
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (500, 2))
+    y = x + 1e4
+    ks = float(compute_sliced_ks(x, y, key=jax.random.PRNGKey(1)))
+    assert np.isfinite(ks)
+    assert ks > 0.9

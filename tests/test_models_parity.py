@@ -190,3 +190,24 @@ def test_tilted_potential_prior_parity():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_mine), g_ref.detach().numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_better_potential_residual_sq_norm_no_gaussian_prior():
+    """energy_type='residual_sq_norm' with use_gaussian_prior=False keeps
+    coef_t the scalar 1.0 (reparam.py:250-254) — it used to crash indexing
+    the float."""
+    import jax
+    import jax.numpy as jnp
+    from sde_sampler_lrds_tpu.models import BetterPotentialCtrl, FourierMLP
+    from sde_sampler_lrds_tpu.sde import VP
+
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    pot = BetterPotentialCtrl(
+        base_model=FourierMLP(dim=3, channels=16), sde=sde,
+        data_mean=jnp.zeros(3), data_scalar_var=jnp.ones(()),
+        use_gaussian_prior=False, energy_type="residual_sq_norm")
+    t = jnp.full((4,), 0.3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 3))
+    params = pot.init(jax.random.PRNGKey(1), t, x, method="energy")
+    e = pot.apply(params, t, x, method="energy")
+    assert e.shape == (4,) and bool(jnp.isfinite(e).all())

@@ -333,3 +333,41 @@ def test_evaluate_uses_cached_jit():
     # rebuilding the loss (reference switch) must drop the stale jit
     m.change_reference_type("default")
     assert m._eval_jit_cache == {}
+
+
+def test_rds_reference_switch_after_training_retraces():
+    """change_reference_type after training started must rebuild the jitted
+    train step AND drop the cached eval jits — both close over the old
+    reference tables, so training/eval would silently keep the pre-switch
+    reference."""
+    target = Gauss(dim=2, loc=0.4, scale=1.1)
+    prior = IsotropicGauss(dim=2)
+    sde = VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0)
+    solver = RDS(target, prior, sde, make_ctrl(), EIReferenceSDELoss,
+                 {"method": "lv", "max_rnd": 1e8},
+                 train_ts=get_timesteps(0.0, 1.0, steps=8), cfg=CFG)
+    solver.setup()
+    m0 = solver.step(jax.random.PRNGKey(0))
+    solver.evaluate(jax.random.PRNGKey(1))
+    old_step = solver._train_step
+    solver.change_reference_type("gaussian", mean=0.4 * jnp.ones(2),
+                                 var=1.2 * jnp.ones(2))
+    assert solver._train_step is not old_step
+    assert not solver._eval_jit_cache
+    m1 = solver.step(jax.random.PRNGKey(2))
+    assert np.isfinite(float(m1["train/loss"]))
+    solver.evaluate(jax.random.PRNGKey(3))
+
+
+def test_compute_eubo_rejects_ddpm_integrator():
+    from sde_sampler_lrds_tpu.losses import DDPMLikeReferenceSDELoss
+
+    target = Gauss(dim=2, loc=0.4, scale=1.1)
+    solver = RDS(target, IsotropicGauss(dim=2),
+                 VP(diff_coeff_sq_min=0.1, diff_coeff_sq_max=10.0),
+                 make_ctrl(), DDPMLikeReferenceSDELoss,
+                 {"method": "lv", "max_rnd": 1e8},
+                 train_ts=get_timesteps(0.0, 1.0, steps=8), cfg=CFG)
+    solver.setup()
+    with pytest.raises(NotImplementedError, match="EUBO"):
+        solver.compute_eubo(jax.random.PRNGKey(0), jnp.zeros((4, 2)))

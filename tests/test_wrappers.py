@@ -87,3 +87,34 @@ def test_eubo_sandwich_on_trained_model():
     assert elbo <= eubo + 0.25, (elbo, eubo)
     assert abs(results.log_norm_const_preds["log_norm_const_is"]) < 0.3
     assert abs(results.metrics["eval/log_norm_const_is_f"]) < 0.5
+
+
+def test_forward_logz_shifts_with_target_normalization():
+    """Adding a constant c to the target's unnormalized log-density raises
+    log Z by c, so eval/log_norm_const_is_f must shift by +c (the old
+    logsumexp(-rnd) form shifted by -c — invisible on log Z = 0 targets).
+    Same keys both calls -> the shift is exact."""
+    from sde_sampler_lrds_tpu.solvers.wrappers import evaluate_eubo
+    from sde_sampler_lrds_tpu.utils.common import Results
+
+    solver = make_solver()
+    solver.setup()
+    key = jax.random.PRNGKey(7)
+    empty = lambda: Results(samples=None, weights=None, rnd=None,
+                            log_norm_const_preds={}, ts=None, xs=None,
+                            metrics={})
+    r0 = evaluate_eubo(solver, empty(), solver.reference_log_prob, key)
+    orig = solver.clipped_target_unnorm_log_prob
+    c = 3.7
+    solver.clipped_target_unnorm_log_prob = lambda x: orig(x) + c
+    r1 = evaluate_eubo(solver, empty(), solver.reference_log_prob, key)
+    np.testing.assert_allclose(
+        r1.metrics["eval/log_norm_const_is_f"]
+        - r0.metrics["eval/log_norm_const_is_f"], c, rtol=1e-5)
+    # EUBO itself also shifts by +c (it estimates log Z + KL)
+    np.testing.assert_allclose(r1.metrics["eval/eubo"]
+                               - r0.metrics["eval/eubo"], c, rtol=1e-5)
+    # ESS is shift-invariant
+    np.testing.assert_allclose(r1.metrics["eval/norm_effective_sample_size_f"],
+                               r0.metrics["eval/norm_effective_sample_size_f"],
+                               rtol=1e-5)
