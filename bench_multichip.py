@@ -118,9 +118,14 @@ def main():
         mesh = get_mesh(n)
         batch = args.per_device_batch * n
         solver, sample = build_sampler(mesh, batch)
-        # sharded training-step timing (the M2 train path, not just eval)
-        t0 = time.time()
+        # sharded training-step timing (the M2 train path, not just eval);
+        # one untimed warmup step pays the jit compile so the figure is
+        # steady-state throughput, matching the eval path's warmup call
         m = None
+        if args.train_steps:
+            solver.step(jax.random.PRNGKey(99))
+            jax.block_until_ready(solver.state.params)
+        t0 = time.time()
         for i in range(args.train_steps):
             m = solver.step(jax.random.PRNGKey(100 + i))
         jax.block_until_ready(solver.state.params)

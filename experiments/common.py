@@ -169,7 +169,10 @@ def run_sampling_baseline(key, kind, target, mean, var, eval_batch_size: int,
         pooled = jnp.concatenate(collected, axis=0)
         while pooled.shape[0] >= eval_batch_size:
             chunk, pooled = pooled[:eval_batch_size], pooled[eval_batch_size:]
-            gt = target.sample(k_gt, (chunk.shape[0],))
+            # fresh ground-truth draw per chunk — reusing k_gt across the
+            # chunks of one run would correlate the per-seed metric noise
+            k_gt, k_draw = jax.random.split(k_gt)
+            gt = target.sample(k_draw, (chunk.shape[0],))
             metrics = get_metrics(target, chunk, marginal_dims=[0, 1])
             metrics["error/sinkhorn"] = float(sinkhorn(gt, chunk))
             metrics["error/mmd"] = float(mmd_median(gt, chunk))
@@ -264,6 +267,9 @@ def competing_run(args, target, target_details, x_init, filename_stub,
             mean, var_diag, target.dim,
             terminal_t=args.terminal_t_pis if args.solver_type == "pis_orig" else None)
         solver_details = {"sigma": sigma}
+        if args.solver_type == "pis_orig":
+            # keep the SDE horizon consistent with the sigma/sqrt(T) scaling
+            solver_details["terminal_t"] = args.terminal_t_pis
     if args.solver_type in VI_SOLVERS:
         _, all_metrics = run_vi(
             k_vi, args.solver_type, target_details, solver_details,
@@ -307,13 +313,18 @@ def lrds_run(args, target, target_details, x_init, ref_type, extra_params=None,
              solver_type="vp-ref", integrator_type="ei", time_type="snr",
              model_type="base_zero_init", n_gmm_components=None,
              em_type="diag", net=None, mcmc_step_size=1e-3,
-             optim_details=None, **model_kwargs):
+             optim_details=None, prebuilt=None, **model_kwargs):
     """One cell of a *_mcmc_gmm.py / *_ebm_mcmc.py LRDS driver: fit the
-    requested reference from the MCMC dataset and train RDS on it."""
+    requested reference from the MCMC dataset and train RDS on it.
+    ``prebuilt`` takes a ``build_dataset_and_gaussian`` result so sweeps
+    over reference hyperparameters reuse one MCMC dataset (the key split
+    is unchanged, so the VI stream is identical either way)."""
     key = jax.random.PRNGKey(args.seed)
     key, k_data, k_vi = jax.random.split(key, 3)
-    dataset, mean, var, var_diag, times = build_dataset_and_gaussian(
-        k_data, target, x_init, args.dataset_size, step_size=mcmc_step_size)
+    if prebuilt is None:
+        prebuilt = build_dataset_and_gaussian(
+            k_data, target, x_init, args.dataset_size, step_size=mcmc_step_size)
+    dataset, mean, var, var_diag, times = prebuilt
     solver_details = {"sigma": 1.0}
     t0 = time.time()
     if ref_type == "gaussian":

@@ -6,8 +6,8 @@ import argparse
 
 import jax
 
-from common import (add_common_args, announce, dump_results, lrds_run,
-                    make_target, make_target_details)
+from common import (add_common_args, announce, build_dataset_and_gaussian,
+                    dump_results, lrds_run, make_target, make_target_details)
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--solver_type", type=str, default="vp-ref",
@@ -24,10 +24,15 @@ filename = f"two_modes_gmm_sensitivity_solver_{args.solver_type}_seed_{args.seed
 details = make_target_details("two_modes", dim=args.dim)
 target = make_target(details)
 dump = []
+# one MALA dataset for the whole sweep: every cell uses the same seed and
+# target, so rebuilding it per n_components was pure duplicate work
+_, k_data, _ = jax.random.split(jax.random.PRNGKey(args.seed), 3)
+prebuilt = build_dataset_and_gaussian(k_data, target, target.loc,
+                                      args.dataset_size)
 for n_comp in [int(x) for x in args.n_components_range.split(",")]:
     dump.append(lrds_run(args, target, details, target.loc, "gmm",
                          extra_params={"n_components": n_comp},
                          solver_type=args.solver_type,
                          integrator_type=args.integrator_type,
-                         n_gmm_components=n_comp))
+                         n_gmm_components=n_comp, prebuilt=prebuilt))
     dump_results(args.results_path, filename, config, dump)

@@ -67,8 +67,11 @@ def build_parser():
     p.add_argument("--resume", action="store_true", help="resume from latest ckpt")
     p.add_argument("--ckpt-interval", type=int, default=None)
     p.add_argument("--wandb", action="store_true", help="log to wandb if available")
-    p.add_argument("--device", default="default", choices=["default", "cpu", "tpu"],
-                   help="cfg.device analogue; 'cpu' forces the host backend")
+    p.add_argument("--device", default="default", choices=["default", "cpu"],
+                   help="cfg.device analogue; 'cpu' forces the host backend "
+                        "('default' keeps whatever backend the runtime "
+                        "pins — there is no reliable way to force the "
+                        "plugin TPU platform by name, so no 'tpu' choice)")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    nargs="+", metavar="NS.KEY=VALUE",
                    help="dotted-key config overrides, the hydra-override "
@@ -187,7 +190,8 @@ def main():
             # conf/solver/cmcd.yaml pairs CMCD with the basic model; the api
             # mirrors the reference's inverted check, so take the escape hatch
             force_base_zero_init=(args.solver == "cmcd" and args.model == "basic"))
-        solver.cfg.ckpt_interval = args.ckpt_interval
+        if args.ckpt_interval is not None:  # don't clobber --set train.ckpt_interval
+            solver.cfg.ckpt_interval = args.ckpt_interval
         # resolved-config dump (the .hydra/config.yaml analogue): the
         # effective TrainConfig + SDE after all --set overrides
         import dataclasses

@@ -47,6 +47,9 @@ from pathlib import Path
 def expand_grid(sweeps: list[str]):
     keys, values = [], []
     for s in sweeps:
+        if "=" not in s:
+            raise SystemExit(f"--sweep item {s!r} must look like "
+                             f"ns.key=v1,v2,... (missing '=')")
         k, v = s.split("=", 1)
         keys.append(k)
         values.append(v.split(","))

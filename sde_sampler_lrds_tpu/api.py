@@ -386,7 +386,12 @@ def make_model(solver_type: str, ref_type: str, loss_type: str, integrator_type:
                      out_dir=out_dir, **({"mesh": mesh} if mesh else {}))
     elif solver_type == "pis_orig":
         prior = Delta(dim=dim, loc=0.0)
-        sde = _sde(ScaledBM, diff_coeff=sigma, terminal_t=5.0)
+        # terminal_t is overridable so --terminal_t_pis stays consistent
+        # with the sigma/sqrt(T) moment matching (the reference rescales
+        # sigma but hardcodes T=5.0 in conf/sde/bm_pis.yaml — a non-default
+        # flag silently mis-scaled its reference process)
+        sde = _sde(ScaledBM, diff_coeff=sigma,
+                   terminal_t=solver_details.get("terminal_t", 5.0))
         ts = get_timesteps(0.0, sde.terminal_t, steps=n_steps)
         solver = PIS(target, prior, sde, make_ctrl(model_type, dim, target, prior, sde,
                                    compute_dtype=compute_dtype, base_arch=base_arch),
