@@ -60,6 +60,7 @@ def test_gmm_tilted_grad_consistency():
     np.testing.assert_allclose(np.asarray(grad), np.asarray(auto), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_gmm_tilted_sample_prior():
     sde = VP()
     pot = make_potential(sde)

@@ -543,6 +543,7 @@ def _make_flat_lv_solver(flat_lv):
     return solver
 
 
+@pytest.mark.slow
 def test_solver_flat_lv_auto_trains():
     """The flagship RDS/LV solver takes the flat path by default (scan
     simulation on CPU) and trains to a finite loss."""
@@ -761,6 +762,7 @@ def _make_kl_solver(fused_kl):
     return solver
 
 
+@pytest.mark.slow
 def test_solver_fused_kl_routing_and_trains():
     """fused_kl='force' routes KL training through the custom-VJP kernel
     (interpret mode on CPU) and trains to a finite loss; 'auto' on a CPU

@@ -35,6 +35,7 @@ def test_pallas_lse_matches_dense(p, n, m, d):
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_lse_masks_neg_inf_duals():
     """−inf dual entries (the padding mask) drop those columns exactly."""
     x = jax.random.normal(jax.random.PRNGKey(0), (40, 2))
@@ -86,6 +87,7 @@ def test_sinkhorn_pallas_backend_matches_xla():
     np.testing.assert_allclose(d_pal, d_ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sinkhorn_pallas_backend_with_weights():
     kx, ky, kw = jax.random.split(jax.random.PRNGKey(13), 3)
     x = jax.random.normal(kx, (70, 3))

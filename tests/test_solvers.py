@@ -145,6 +145,7 @@ def test_cmcd_end_to_end():
     run_short(solver, n=5)
 
 
+@pytest.mark.slow
 def test_cmcd_update_prior_invalidates_cached_eval():
     """update_prior swaps loss/sde/prior in place; the cached eval jits
     (and the jitted train step) close over the old ones and must be

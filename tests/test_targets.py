@@ -288,6 +288,7 @@ def test_phi_four_hessian_matches_autodiff():
                                np.asarray(h_auto), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_phi_four_laplace_matches_transfer_matrix():
     """With the corrected Hessian, the Laplace-corrected weight lands
     within ~0.2% of the exact transfer-matrix value (1.0733 at the paper
