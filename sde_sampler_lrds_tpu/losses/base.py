@@ -201,3 +201,18 @@ class BaseOCLoss:
         if self.remat:
             body = jax.checkpoint(body)
         return jax.lax.scan(body, carry, xs, unroll=self.unroll)
+
+    def _noising_states(self, key, x, mean_f, std_f):
+        """Control-free reverse (noising) trajectory x_k = mf·x + sf·z:
+        the cheap affine scan every EUBO pass shares. Returns the final
+        state, the post-step states (K, B, D), and the noises that
+        produced them."""
+        zs = jax.random.normal(key, (mean_f.shape[0], *x.shape))
+
+        def body(x, inp):
+            mf, sf, z = inp
+            x = mf * x + sf * z
+            return x, x
+
+        x_last, xs = jax.lax.scan(body, x, (mean_f, std_f, zs))
+        return x_last, xs, zs

@@ -148,14 +148,7 @@ class DiscreteTimeReversalLossEI(BaseOCLoss):
         mean_f, var_f = self.sde.transition_params(T - times_t, T - times_s)
         std_f = jnp.sqrt(var_f)
         omega = self.sde.omega(times_s, times_t)[:, None]       # (K, 1)
-        zs = jax.random.normal(key, (mean_f.shape[0], *x.shape))
-
-        def body(x, inp):
-            mf, sf, z = inp
-            x = mf * x + sf * z
-            return x, x
-
-        x_0, xs = jax.lax.scan(body, x, (mean_f, std_f, zs))
+        x_0, xs, zs = self._noising_states(key, x, mean_f, std_f)
         u = flat_ctrl_eval(ctrl, T - times_s, xs)               # (K, B, D)
         steps = (-0.5 * jnp.sum(u**2, axis=-1) * omega
                  - jnp.sum(u * zs, axis=-1) * jnp.sqrt(omega))

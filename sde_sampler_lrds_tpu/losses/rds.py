@@ -192,20 +192,6 @@ class EMReferenceSDELoss(BaseOCLoss):
         return compute_results(rnd, compute_weights=compute_weights, ts=ts,
                                max_rnd=self.max_rnd, samples=samples, xs=xs)
 
-    def _noising_states(self, key, x, mean_f, std_f):
-        """Control-free reverse (noising) trajectory x_k = mf·x + sf·z:
-        the cheap affine scan every EUBO pass shares. Returns the post-step
-        states (K, B, D) and the noises that produced them."""
-        zs = jax.random.normal(key, (mean_f.shape[0], *x.shape))
-
-        def body(x, inp):
-            mf, sf, z = inp
-            x = mf * x + sf * z
-            return x, x
-
-        _, xs = jax.lax.scan(body, x, (mean_f, std_f, zs))
-        return xs, zs
-
     def compute_eubo(self, key, ts, x, ctrl, terminal_unnorm_log_prob, reference_log_prob):
         """Reverse (noising) pass from true target samples: the EUBO upper
         bound of arXiv:2406.07423 (losses/oc.py:298-362).
@@ -224,7 +210,7 @@ class EMReferenceSDELoss(BaseOCLoss):
         dt_arr = times_t - times_s
         diff_arr = self.sde.diff_coeff_t(t_ctrl)
         drift_k_arr = self.sde.drift_coeff_t(t_ctrl)
-        xs, zs = self._noising_states(key, x, mean_f, std_f)
+        _, xs, zs = self._noising_states(key, x, mean_f, std_f)
         u = flat_ctrl_eval(ctrl, t_ctrl, xs)                    # (K, B, D)
         ref = jax.vmap(self.reference_ctrl)(t_ctrl, xs)
         if self.use_rescaling:
@@ -315,7 +301,7 @@ class EIReferenceSDELoss(EMReferenceSDELoss):
         std_f = jnp.sqrt(var_f)
         omega = self._omega(times_s, times_t)[:, None]          # (K, 1)
         t_ctrl = T - times_s
-        xs, zs = self._noising_states(key, x, mean_f, std_f)
+        _, xs, zs = self._noising_states(key, x, mean_f, std_f)
         u = flat_ctrl_eval(ctrl, t_ctrl, xs)                    # (K, B, D)
         ref = jax.vmap(self.reference_ctrl)(t_ctrl, xs)
         steps = (-jnp.sum(u * (ref + 0.5 * u), axis=-1) * omega
