@@ -298,9 +298,14 @@ def build_plan(loss, ctrl_module, params, ts, block_b: int = 2048,
     if mlp is None:
         return None
     fields, arrays = mlp
+    # a loss family that *can* carry a reference but is configured without
+    # one (e.g. PIS: reference process = the uncontrolled SDE, terminal
+    # reference log-prob only) runs on the zero dummy table like the
+    # reference-free families
+    if has_ref and getattr(loss, "reference_ctrl", None) is None:
+        has_ref = False
     if has_ref:
-        ref = _reference_tables(getattr(loss, "reference_ctrl", None),
-                                t_ctrl, fields["dim"])
+        ref = _reference_tables(loss.reference_ctrl, t_ctrl, fields["dim"])
         if ref is None:
             return None
     else:

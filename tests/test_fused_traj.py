@@ -995,3 +995,67 @@ def test_fused_eval_sampler_works_off_tpu():
     x, rnd = sampler(jax.random.PRNGKey(5))
     assert x.shape == (64, DIM) and rnd.shape == (64,)
     assert bool(jnp.isfinite(x).all()) and bool(jnp.isfinite(rnd).all())
+
+
+def test_fused_covers_reference_free_em_pis_config():
+    """An EM/ScaledBM loss configured WITHOUT a reference control (the PIS
+    formulation: uncontrolled reference process, terminal reference
+    log-prob only) rides the fused kernel on the zero dummy table —
+    bit-comparable to the scan under common noise."""
+    from sde_sampler_lrds_tpu.sde import ScaledBM
+
+    key = jax.random.PRNGKey(0)
+    sde = ScaledBM(diff_coeff=1.0, terminal_t=5.0)
+    ctrl = ClippedCtrl(base_model=FourierMLP(dim=DIM), clip_model=1e4)
+    params = ctrl.init(key, jnp.zeros(()), jnp.zeros((1, DIM)))
+    loss = EMReferenceSDELoss(sde=sde, method="kl", reference_ctrl=None)
+    ts = get_timesteps(0.0, 5.0, steps=K)
+    plan = build_plan(loss, ctrl, params, ts, block_b=BATCH // 2)
+    assert plan is not None
+    cfg, arrays = plan
+    k_x, k_z = jax.random.split(jax.random.PRNGKey(3))
+    x0 = jnp.zeros((BATCH, DIM))  # PIS starts at the Dirac point
+    noise = jax.random.normal(k_z, (K, BATCH, DIM))
+    term = lambda x: -0.5 * jnp.sum((x - 0.3) ** 2, axis=-1)
+    ref_lp = lambda x: -0.1 * jnp.sum(x**2, axis=-1)
+    x_f, r_f = fused_simulate(cfg, arrays, None, x0, term, ref_lp,
+                              noise=noise)
+    ctrl_fn = lambda t, x: ctrl.apply(params, t, x)
+    x_s, r_s, _ = loss.simulate(jax.random.PRNGKey(7), ts, x0, ctrl_fn,
+                                term, ref_lp, change_sde_ctrl=False,
+                                noise=noise)
+    np.testing.assert_allclose(x_f, x_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(r_f, r_s, rtol=2e-5, atol=2e-4)
+
+
+def test_pis_solver_fused_eval_eligible():
+    """The PIS solver's eval routes through the fused kernel (forced mode
+    on CPU) and its fused_eval_sampler honors the None-or-working
+    contract."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from sde_sampler_lrds_tpu.sde import ScaledBM
+    from sde_sampler_lrds_tpu.solvers import PIS
+    from sde_sampler_lrds_tpu.solvers.base import TrainConfig
+    from sde_sampler_lrds_tpu.targets import Delta, Gauss
+
+    target = Gauss(dim=DIM, loc=0.3, scale=1.0)
+    prior = Delta(dim=DIM, loc=0.0)
+    sde = ScaledBM(diff_coeff=1.0, terminal_t=5.0)
+    ctrl = ClippedCtrl(base_model=FourierMLP(dim=DIM, zero_init=True),
+                       clip_model=1e4)
+    cfg = TrainConfig(train_steps=2, train_batch_size=16,
+                      eval_batch_size=64, lr=1e-3)
+    s = PIS(target, prior, sde, ctrl, EMReferenceSDELoss,
+            {"method": "lv", "max_rnd": 1e8},
+            train_ts=get_timesteps(0.0, 5.0, steps=K), cfg=cfg)
+    s.setup()
+    s.mesh = Mesh(_np.array(jax.devices()[:1]), ("dp",))
+    s.cfg.fused_eval = "force"
+    assert s._fused_eval_ok(s.state.params)
+    res = s.evaluate(jax.random.PRNGKey(3))
+    assert np.isfinite(res.metrics["eval/elbo"])
+    sampler = s.fused_eval_sampler(block_b=32)
+    assert sampler is not None
+    x, rnd = sampler(jax.random.PRNGKey(5))
+    assert bool(jnp.isfinite(rnd).all())
