@@ -400,7 +400,11 @@ def _traj_kernel(cfg: FusedTrajCfg, use_noise_input: bool, return_traj: bool,
         else:
             bits = pltpu.bitcast(
                 pltpu.prng_random_bits((b_t, 2 * d)), jnp.uint32)
-            f = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+            # Mosaic has no uint32->f32 convert; >>8 clears the sign bit,
+            # so bitcast to int32 (same width, value-preserving here) and
+            # convert from there.
+            f = (pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32)
+                 * (1.0 / (1 << 24)))
             u1 = 1.0 - f[:, :d]                                   # (0, 1]
             u2 = f[:, d:]
             z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
