@@ -6,10 +6,14 @@ this repo, but at the reference's eval scale (batch 8192 × dim 8, K = 100)
 the scan is *overhead*-bound, not compute-bound: each step costs ~30 µs of
 XLA per-iteration kernel launches and HBM round-trips on tiny tensors while
 the actual math is <1 µs. This kernel runs the ENTIRE K-step trajectory in
-one Pallas program per batch tile — state ``x`` (B_t, D), the RND
-accumulator, and all schedule tables stay resident in VMEM, the control
-MLP's matmuls hit the MXU back-to-back, and Gaussian noise is drawn on-core
-(TPU PRNG + Box–Muller), so nothing touches HBM between steps.
+one Pallas program per batch tile — state ``x`` (D, B_t) in the transposed
+(features-on-sublanes, batch-on-lanes) layout, the RND accumulator, and all
+schedule tables stay resident in VMEM, the control MLP's matmuls hit the
+MXU back-to-back, and Gaussian noise is drawn on-core (TPU PRNG +
+Box–Muller), so nothing touches HBM between steps. Batch-on-lanes is the
+load-bearing layout choice: at this workload's D (2–100) a (B, D) state
+pads D → 128 lanes, wasting ≤64× of every VPU op and 16× of every
+trajectory buffer (see _traj_kernel).
 
 Scope (the flagship RDS eval path; everything else falls back to the scan):
   * loss: EM / EI / DDPM ReferenceSDELoss in evaluation mode (Ito RND,
@@ -326,14 +330,28 @@ def build_plan(loss, ctrl_module, params, ts, block_b: int = 2048,
 
 def _traj_kernel(cfg: FusedTrajCfg, use_noise_input: bool, return_traj: bool,
                  *refs):
+    """Kernel body in the TRANSPOSED layout: state x is (D, B_t) — features
+    on sublanes, batch on lanes. At the workload's small dims (D = 2–100)
+    the reference (B_t, D) layout padded every elementwise op's lane axis
+    D → 128 (≤64× wasted VPU lanes and a 16× VMEM inflation of the
+    (K, B_t, D) trajectory blocks — the round-3 102 MB scoped-vmem OOM,
+    docs/bench_r3_manual.stderr.txt); with batch on lanes every VPU op and
+    every trajectory buffer is fully dense. Measured on v5e: 2.9 µs/step
+    /2048-tile for the full body vs ~19 µs before (docs/PERF.md §fused).
+
+    Per-step schedule vectors (time embed; reference const/means/invvars)
+    are read as one row of a (K, R) table and rotated to an (R, 1) column
+    with a one-tile ``swapaxes`` relayout — measured 0.23 µs/step, the
+    cheapest supported per-step gather on this backend (dynamic lane
+    slicing crashes Mosaic; one-hot MXU gathers cost 8–23 µs/step)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     xs_out_ref = None
     if return_traj:
         *refs, xs_out_ref = refs
-    (x0_ref, coef_ref, embed_ref, w0_ref, b0_ref, wh_ref, bh_ref,
-     wout_ref, bout_ref, const_ref, m_ref, iv_ref, *refs) = refs
+    (x0_ref, coef_ref, embed_ref, w0t_ref, b0t_ref, wht_ref, bht_ref,
+     woutt_ref, boutt_ref, reftbl_ref, *refs) = refs
     p_ref = pt_ref = None
     if cfg.full_cov:
         p_ref, pt_ref, *refs = refs
@@ -346,79 +364,83 @@ def _traj_kernel(cfg: FusedTrajCfg, use_noise_input: bool, return_traj: bool,
 
     d, c, act = cfg.dim, cfg.n_comp, cfg.activation
     b_t = cfg.block_b
+    mm_dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
     def body(k, carry):
-        x, rnd = carry
+        x, rnd = carry                                 # (D, B_t), (1, B_t)
         if return_traj:  # pre-step state x_k (the flat LV path's input)
-            xs_out_ref[pl.ds(k, 1), :, :] = x.reshape(1, b_t, d)
+            xs_out_ref[pl.ds(k, 1), :, :] = x.reshape(1, d, b_t)
+        # per-step schedule columns: one row read + one-tile relayout each
+        cols = jnp.swapaxes(reftbl_ref[pl.ds(k, 1), :], 0, 1)  # (C+2CD, 1)
+        e = jnp.swapaxes(embed_ref[pl.ds(k, 1), :], 0, 1)      # (H, 1)
         # ---- control u = clip(FourierMLP(t_k, x)) ------------------------
         # cfg.bf16: matmuls/activations in bfloat16 (compute_dtype
-        # semantics); u is cast back to f32 before the state/RND math
-        mm_dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
-        e = embed_ref[pl.ds(k, 1), :]                              # (1, H)
-        h = jnp.dot(x.astype(mm_dt), w0_ref[:],
-                    preferred_element_type=mm_dt) + b0_ref[:] + e
+        # semantics); u is cast back to f32 before the state/RND math.
+        # Weights arrive pre-transposed: h_col = W0ᵀ x_col (+ b + e).
+        h = jnp.dot(w0t_ref[:], x.astype(mm_dt),
+                    preferred_element_type=mm_dt) + b0t_ref[:] + e
         for i in range(cfg.n_hidden):
-            h = jnp.dot(act(h), wh_ref[i],
-                        preferred_element_type=mm_dt) + bh_ref[i]
-        u = jnp.dot(act(h), wout_ref[:],
-                    preferred_element_type=mm_dt) + bout_ref[:]
+            h = jnp.dot(wht_ref[i], act(h),
+                        preferred_element_type=mm_dt) + bht_ref[i]
+        u = jnp.dot(woutt_ref[:], act(h),
+                    preferred_element_type=mm_dt) + boutt_ref[:]
         u = u.astype(jnp.float32)
         if cfg.clip is not None:
             u = jnp.clip(u, -cfg.clip, cfg.clip)
         # ---- reference score of the noised (diag / eigen-full) MoG -------
-        row_c = const_ref[pl.ds(k, 1), :]                         # (1, C)
-        row_m = m_ref[pl.ds(k, 1), :]                             # (1, C·D)
-        row_iv = iv_ref[pl.ds(k, 1), :]
+        # column-table slices: [const (C) | means (C·D) | invvars (C·D)]
         logits, grads = [], []
         for j in range(c):
-            diff = x - row_m[:, j * d:(j + 1) * d]                # (B, D)
+            diff = x - cols[c + j * d:c + (j + 1) * d]            # (D, B)
+            ivj = cols[c + c * d + j * d:c + c * d + (j + 1) * d]
             if cfg.full_cov:
                 # rotate into the component's (time-invariant) eigenbasis,
-                # scale by the per-step inverse eigen-variances, rotate back
-                y = jnp.dot(diff, p_ref[j * d:(j + 1) * d, :],
+                # scale by the per-step inverse eigen-variances, rotate
+                # back; column layout swaps the P/Pᵀ roles of the row form
+                # (y_col = Pᵀ diff_col, g_col = P ys_col)
+                y = jnp.dot(pt_ref[j * d:(j + 1) * d, :], diff,
                             preferred_element_type=jnp.float32)
-                ys = y * row_iv[:, j * d:(j + 1) * d]
-                logits.append(row_c[:, j:j + 1]
-                              - 0.5 * jnp.sum(y * ys, axis=-1, keepdims=True))
-                g = jnp.dot(ys, pt_ref[j * d:(j + 1) * d, :],
+                ys = y * ivj
+                logits.append(cols[j:j + 1]
+                              - 0.5 * jnp.sum(y * ys, axis=0, keepdims=True))
+                g = jnp.dot(p_ref[j * d:(j + 1) * d, :], ys,
                             preferred_element_type=jnp.float32)
             else:
-                g = diff * row_iv[:, j * d:(j + 1) * d]
-                logits.append(row_c[:, j:j + 1]
-                              - 0.5 * jnp.sum(diff * g, axis=-1,
+                g = diff * ivj
+                logits.append(cols[j:j + 1]
+                              - 0.5 * jnp.sum(diff * g, axis=0,
                                               keepdims=True))
             grads.append(g)
         if c == 1:
             ref_score = -grads[0]
         else:
-            resp = jax.nn.softmax(jnp.concatenate(logits, axis=-1), axis=-1)
-            ref_score = -sum(resp[:, j:j + 1] * grads[j] for j in range(c))
+            resp = jax.nn.softmax(jnp.concatenate(logits, axis=0), axis=0)
+            ref_score = -sum(resp[j:j + 1] * grads[j] for j in range(c))
         # ---- noise --------------------------------------------------------
         if use_noise_input:
-            z = noise_ref[pl.ds(k, 1), :, :].reshape(b_t, d)
+            z = noise_ref[pl.ds(k, 1), :, :].reshape(d, b_t)
         else:
             bits = pltpu.bitcast(
-                pltpu.prng_random_bits((b_t, 2 * d)), jnp.uint32)
+                pltpu.prng_random_bits((2 * d, b_t)), jnp.uint32)
             # Mosaic has no uint32->f32 convert; >>8 clears the sign bit,
             # so bitcast to int32 (same width, value-preserving here) and
             # convert from there.
             f = (pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32)
                  * (1.0 / (1 << 24)))
-            u1 = 1.0 - f[:, :d]                                   # (0, 1]
-            u2 = f[:, d:]
+            u1 = 1.0 - f[:d]                                      # (0, 1]
+            u2 = f[d:]
             z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
                 (2.0 * math.pi) * u2)
         # ---- RND + state update (generalized integrator step) -------------
         a_x, a_ref, a_u = coef_ref[k, 0], coef_ref[k, 1], coef_ref[k, 2]
         a_z, c_cost, c_dot = coef_ref[k, 3], coef_ref[k, 4], coef_ref[k, 5]
-        rnd = rnd + c_cost * 0.5 * jnp.sum(u * u, axis=-1, keepdims=True) \
-                  + c_dot * jnp.sum(u * z, axis=-1, keepdims=True)
+        rnd = rnd + c_cost * 0.5 * jnp.sum(u * u, axis=0, keepdims=True) \
+                  + c_dot * jnp.sum(u * z, axis=0, keepdims=True)
         x = a_x * x + a_ref * ref_score + a_u * u + a_z * z
         return x, rnd
 
     x0 = x0_ref[:]
-    rnd0 = jnp.zeros((b_t, 1), jnp.float32)
+    rnd0 = jnp.zeros((1, b_t), jnp.float32)
     x_t, rnd = jax.lax.fori_loop(0, cfg.k_steps, body, (x0, rnd0))
     x_out_ref[:] = x_t
     rnd_out_ref[:] = rnd
@@ -427,6 +449,13 @@ def _traj_kernel(cfg: FusedTrajCfg, use_noise_input: bool, return_traj: bool,
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
                 use_noise_input: bool, return_traj: bool = False):
+    """Host-side wrapper: the public contract stays row-major — x0 (B, D),
+    noise (K, B, D), returns x_T (B,), rnd (B,), xs (K, B, D) — and the
+    transposition to the kernel's (D, B) lane-dense layout happens here
+    (cheap bandwidth-bound XLA transposes at the jit boundary). ``arrays``
+    keeps build_plan's row-major tables, so the custom-VJP mirrors and the
+    cotangent pytree structure are layout-agnostic; the transposed weight
+    views below are traced jnp and differentiate through."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -435,48 +464,57 @@ def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
     n_h, b_t = cfg.n_hidden, cfg.block_b
     # Pad a non-tile-multiple batch up to the next tile boundary instead of
     # shrinking the tile to a divisor (which collapsed e.g. the default
-    # eval batch 6000 to 16-row programs): padded rows simulate an extra
-    # <1-tile of throwaway trajectories (rows are independent in the
+    # eval batch 6000 to tiny programs): padded lanes simulate an extra
+    # <1-tile of throwaway trajectories (lanes are independent in the
     # kernel) and are sliced off below.
     pad = -b % b_t
-    if pad:
-        x0 = jnp.pad(x0, ((0, pad), (0, 0)))
-        if use_noise_input:
-            seed_or_noise = jnp.pad(seed_or_noise, ((0, 0), (0, pad), (0, 0)))
     bp = b + pad
+    x0_t = jnp.pad(jnp.swapaxes(x0, 0, 1), ((0, 0), (0, pad)))   # (D, Bp)
+    if use_noise_input:
+        seed_or_noise = jnp.pad(jnp.swapaxes(seed_or_noise, 1, 2),
+                                ((0, 0), (0, 0), (0, pad)))      # (K, D, Bp)
+    # pre-transposed weight columns + one combined per-step reference table
+    # [const (C) | means (C·D) | invvars (C·D)] read row-wise in the kernel
+    w0t = jnp.swapaxes(arrays["w0"], 0, 1)                       # (H, D)
+    b0t = jnp.swapaxes(arrays["b0"], 0, 1)                       # (H, 1)
+    wht = jnp.swapaxes(arrays["wh"], 1, 2)
+    bht = jnp.swapaxes(arrays["bh"], 1, 2)                       # (nh, H, 1)
+    woutt = jnp.swapaxes(arrays["w_out"], 0, 1)                  # (D, H)
+    boutt = jnp.swapaxes(arrays["b_out"], 0, 1)                  # (D, 1)
+    reftbl = jnp.concatenate(
+        [arrays["ref_const"], arrays["ref_m"], arrays["ref_iv"]], axis=1)
+    r_cols = c + 2 * c * d
     grid = (bp // b_t,)
     bcast = lambda *blk: pl.BlockSpec(blk, lambda i: (0,) * len(blk),
                                       memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((b_t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, b_t), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((k, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
         bcast(k, h),                           # time-embed table
-        bcast(d, h), bcast(1, h),              # W0, b0
-        bcast(max(n_h, 1), h, h), bcast(max(n_h, 1), 1, h),   # hidden
-        bcast(h, d), bcast(1, d),              # W_out, b_out
-        bcast(k, c), bcast(k, c * d), bcast(k, c * d),        # reference
+        bcast(h, d), bcast(h, 1),              # W0ᵀ, b0
+        bcast(max(n_h, 1), h, h), bcast(max(n_h, 1), h, 1),   # hidden
+        bcast(d, h), bcast(d, 1),              # W_outᵀ, b_out
+        bcast(k, r_cols),                      # combined reference table
     ]
     if cfg.full_cov:
         in_specs += [bcast(c * d, d), bcast(c * d, d)]        # P, Pᵀ stacks
     if use_noise_input:
-        in_specs.append(pl.BlockSpec((k, b_t, d), lambda i: (0, i, 0),
+        in_specs.append(pl.BlockSpec((k, d, b_t), lambda i: (0, 0, i),
                                      memory_space=pltpu.VMEM))
     else:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    out_specs = [pl.BlockSpec((b_t, d), lambda i: (i, 0),
+    out_specs = [pl.BlockSpec((d, b_t), lambda i: (0, i),
                               memory_space=pltpu.VMEM),
-                 pl.BlockSpec((b_t, 1), lambda i: (i, 0),
+                 pl.BlockSpec((1, b_t), lambda i: (0, i),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((bp, d), jnp.float32),
-                 jax.ShapeDtypeStruct((bp, 1), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((d, bp), jnp.float32),
+                 jax.ShapeDtypeStruct((1, bp), jnp.float32)]
     if return_traj:
-        out_specs.append(pl.BlockSpec((k, b_t, d), lambda i: (0, i, 0),
+        out_specs.append(pl.BlockSpec((k, d, b_t), lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((k, bp, d), jnp.float32))
-    operands = [x0, arrays["coefs"], arrays["embed"], arrays["w0"],
-                arrays["b0"], arrays["wh"], arrays["bh"], arrays["w_out"],
-                arrays["b_out"], arrays["ref_const"], arrays["ref_m"],
-                arrays["ref_iv"]]
+        out_shape.append(jax.ShapeDtypeStruct((k, d, bp), jnp.float32))
+    operands = [x0_t, arrays["coefs"], arrays["embed"], w0t, b0t, wht, bht,
+                woutt, boutt, reftbl]
     if cfg.full_cov:
         operands += [arrays["ref_p"], arrays["ref_pt"]]
     out = pl.pallas_call(
@@ -487,9 +525,9 @@ def _fused_traj(cfg: FusedTrajCfg, arrays: dict, x0, seed_or_noise,
         out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
     )(*operands, seed_or_noise)
-    x_t, rnd = out[0][:b], out[1][:b]
-    xs = out[2][:, :b] if return_traj else None
-    return x_t, rnd[:, 0], xs
+    x_t, rnd = jnp.swapaxes(out[0], 0, 1)[:b], out[1][0, :b]
+    xs = jnp.swapaxes(out[2], 1, 2)[:, :b] if return_traj else None
+    return x_t, rnd, xs
 
 
 def fused_simulate(cfg: FusedTrajCfg, arrays: dict, key, x0,
@@ -522,11 +560,14 @@ def fused_simulate(cfg: FusedTrajCfg, arrays: dict, key, x0,
 
 def _cap_block_for_traj(cfg: FusedTrajCfg, batch: int) -> FusedTrajCfg:
     """Block size for return_traj=True calls: the per-tile xs output block
-    is (K, block_b, D) f32 and must fit in VMEM (~16 MiB/core) alongside
+    is (K, D, block_b) f32 and must fit in VMEM (~16 MiB/core) alongside
     the noise block of the same size and the state/table buffers — cap
-    block_b so 2·K·block_b·D·4 stays under a ~10 MiB budget (grid iteration
-    count is free; block size is not)."""
-    budget_rows = max((10 << 20) // (2 * 4 * cfg.k_steps * cfg.dim), 8)
+    block_b so 2·K·D·block_b·4 stays under a ~10 MiB budget (grid iteration
+    count is free; block size is not). In the transposed layout the budget
+    math is exact: batch is the lane axis, so the buffers carry no hidden
+    D → 128 lane padding (the round-3 OOM: the (K, block_b, D=8) blocks
+    cost 16× their nominal bytes and blew the 16 MiB scoped-vmem limit)."""
+    budget_rows = max((10 << 20) // (2 * 4 * cfg.k_steps * cfg.dim), 128)
     if cfg.block_b > budget_rows:
         cfg = dataclasses.replace(cfg, block_b=1 << (budget_rows.bit_length() - 1))
     return adapt_block(cfg, batch)
@@ -751,12 +792,13 @@ def fused_traj_states_sharded(mesh, cfg: FusedTrajCfg, arrays: dict, x0,
 
 
 def adapt_block(cfg: FusedTrajCfg, batch: int) -> FusedTrajCfg:
-    """Clamp block_b to the batch (rounded up to the f32 sublane multiple
-    of 8). Batches that are not a tile multiple are NOT shrunk to a divisor
-    — ``_fused_traj`` pads the last partial tile and slices it back off, so
-    a 6000-row eval still runs full 2048-row tiles rather than 375 16-row
-    programs."""
-    b_t = min(cfg.block_b, (batch + 7) // 8 * 8)
+    """Clamp block_b to the batch, rounded up to the f32 LANE multiple of
+    128 (batch is the kernel's lane axis in the transposed layout).
+    Batches that are not a tile multiple are NOT shrunk to a divisor —
+    ``_fused_traj`` pads the last partial tile and slices it back off, so
+    a 6000-row eval still runs full 2048-lane tiles rather than hundreds
+    of tiny programs."""
+    b_t = min(cfg.block_b, (batch + 127) // 128 * 128)
     if b_t != cfg.block_b:
         cfg = dataclasses.replace(cfg, block_b=b_t)
     return cfg
