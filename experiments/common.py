@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sde_sampler_lrds_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from sde_sampler_lrds_tpu.api import (  # noqa: F401 (re-exported for drivers)
     build_ebm,
     fit_gmm,
@@ -369,7 +373,7 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
                         reg_val=0.0, reweight_loss=False, use_ema=False,
                         use_precond=False, return_trainer=False,
                         target=None, select_best=False, select_size=4096,
-                        select_every=None):
+                        select_every=None, net_arch="mlp"):
     """Fit a GMM on the dataset, tilt it with a neural energy, and train the
     EBM by RE-based contrastive MLE (the *_ebm_mcmc.py reference pipeline:
     fit_gmm -> GMMTiltedPotential -> MaximumLikelihoodEBM.train). Returns the
@@ -402,11 +406,23 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
         # which is ~100x cheaper inside the EBM-MLE MCMC loops
         eig, p = np.linalg.eigh(np.asarray(v))
         v = (jnp.asarray(np.maximum(eig, 1e-8)), jnp.asarray(p))
+    if net_arch == "mnist_conv":
+        # 14x14-image targets: the conv energy (models/mnist_ebm.MNISTEnergy
+        # = MNISTNet features + zero-init scalar head) with the 'sum' tilt;
+        # the flat-input 'dot' tilt has no pairing with conv features
+        from sde_sampler_lrds_tpu.models import MNISTEnergy
+
+        side = int(round(dim ** 0.5))
+        assert side * side == dim, "mnist_conv needs a square image dim"
+        base_net, tilt = MNISTEnergy(side=side), "sum"
+    else:
+        base_net = FourierMLP(dim=dim, num_layers=net_layers,
+                              channels=net_channels, zero_init=True)
+        tilt = "dot"
     pot = GMMTiltedPotential(
-        base_model=FourierMLP(dim=dim, num_layers=net_layers,
-                              channels=net_channels, zero_init=True),
+        base_model=base_net,
         sde=sde, weights=w, means=m, variances=v, t_limit=t_limit,
-        tilt_type="dot")
+        tilt_type=tilt)
     prior = Gauss(dim=dim, loc=mean, scale=jnp.sqrt(var_diag))
     sampler = {"mle_re": "replica_exchange", "mle_smc": "smc",
                "mle_cd": "cd"}.get(ebm_type, "replica_exchange")

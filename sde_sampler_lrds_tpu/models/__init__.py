@@ -7,7 +7,7 @@ from .reparam import (
     remove_reference_ctrl,
 )
 from .mnist_unet import Unet
-from .mnist_ebm import MNISTNet
+from .mnist_ebm import MNISTEnergy, MNISTNet
 from .potentials import (
     BetterPotentialCtrl,
     DRLWrapper,
