@@ -81,6 +81,9 @@ def wait_for_backend() -> bool:
 def main(bf16: bool = False):
     import jax
     import jax.numpy as jnp
+    from sde_sampler_lrds_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from sde_sampler_lrds_tpu.api import fit_gmm, mcmc_sample
     from sde_sampler_lrds_tpu.losses import EIReferenceSDELoss
     from sde_sampler_lrds_tpu.models import ClippedCtrl, FourierMLP
@@ -113,6 +116,8 @@ def main(bf16: bool = False):
                           step_size=1e-2, dataset_length=40_000)
     w_fit, m_fit, v_fit = fit_gmm(4, dataset, em_type="diag")
     ref_time = time.time() - t_ref
+    print(f"[bench +{time.time() - overall_start:.0f}s] reference fitted "
+          f"({ref_time:.0f}s)", file=sys.stderr, flush=True)
     solver.change_reference_type("gmm", means=m_fit, variances=v_fit,
                                  weights=w_fit)
     solver.setup()
@@ -139,6 +144,8 @@ def main(bf16: bool = False):
         solver.setup()
         metrics, train_time = run_train()
     train_loss = float(metrics["train/loss"])
+    print(f"[bench +{time.time() - overall_start:.0f}s] trained "
+          f"({train_time:.0f}s)", file=sys.stderr, flush=True)
 
     def is_stats(r):
         """(log_norm_const_is, normalized ESS) via the package's own
@@ -182,6 +189,8 @@ def main(bf16: bool = False):
     sample_time, (x, rnd) = time_sampler(sample)
     throughput = EVAL_BATCH * K_STEPS / sample_time
     path = "scan"
+    print(f"[bench +{time.time() - overall_start:.0f}s] scan eval timed "
+          f"({sample_time * 1e3:.2f} ms)", file=sys.stderr, flush=True)
 
     # ---- fused whole-trajectory Pallas kernel (ops/fused_traj) -----------
     # Reported as the headline only if it both beats the scan AND lands on
@@ -207,6 +216,55 @@ def main(bf16: bool = False):
                 throughput = EVAL_BATCH * K_STEPS / sample_time
         except Exception as e:  # pragma: no cover - scan fallback
             print(f"fused path unavailable: {e!r}", file=sys.stderr)
+        print(f"[bench +{time.time() - overall_start:.0f}s] fused eval "
+              f"checked", file=sys.stderr, flush=True)
+
+    # ---- Pallas kernel microbench rows (sinkhorn, resample) --------------
+    # Round-3 lesson: interpret-mode green != hardware green. Each row times
+    # the Pallas kernel against its XLA fallback ON THIS BACKEND and records
+    # a correctness delta, so every TPU bench run re-proves both kernels
+    # compile and says which path wins (VERDICT r3 item 4).
+    micro = {}
+    if "--no-micro" not in sys.argv:
+        def med_time(fn, *a, n_calls=10, reps=3):
+            jax.block_until_ready(fn(*a))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.time()
+                outs = [fn(*a) for _ in range(n_calls)]
+                jax.block_until_ready(outs)
+                best = min(best, (time.time() - t0) / n_calls)
+            return best
+
+        try:
+            from sde_sampler_lrds_tpu.eval.sinkhorn import Sinkhorn
+            ka, kb = jax.random.split(jax.random.PRNGKey(5))
+            xs_a = target.sample(ka, (4096,))
+            xs_b = target.sample(kb, (4096,))
+            vals = {}
+            for be in ("pallas", "xla"):
+                sk = Sinkhorn(eps=1e-3, max_iters=100, backend=be)
+                vals[be] = float(sk(xs_a, xs_b))
+                micro[f"sinkhorn_{be}_time_s"] = med_time(
+                    sk, xs_a, xs_b, n_calls=3)
+            micro["sinkhorn_abs_diff"] = abs(vals["pallas"] - vals["xla"])
+            micro["sinkhorn_value"] = vals["pallas"]
+        except Exception as e:  # pragma: no cover - capability gate
+            micro["sinkhorn_pallas_error"] = repr(e)[:200]
+        try:
+            from sde_sampler_lrds_tpu.ops.resample import systematic_resample
+            lw = -0.5 * jax.random.normal(jax.random.PRNGKey(6), (8192,)) ** 2
+            f_pal = jax.jit(lambda k: systematic_resample(k, lw,
+                                                          use_pallas=True))
+            f_xla = jax.jit(lambda k: systematic_resample(k, lw,
+                                                          use_pallas=False))
+            k0 = jax.random.PRNGKey(7)
+            same = bool((f_pal(k0) == f_xla(k0)).all())
+            micro["resample_pallas_time_s"] = med_time(f_pal, k0, n_calls=50)
+            micro["resample_xla_time_s"] = med_time(f_xla, k0, n_calls=50)
+            micro["resample_match"] = same
+        except Exception as e:  # pragma: no cover - capability gate
+            micro["resample_pallas_error"] = repr(e)[:200]
 
     # ---- quality metrics (stderr) ---------------------------------------
     log_z, ess = is_stats(rnd)
@@ -228,6 +286,7 @@ def main(bf16: bool = False):
     }
     if fused_stats:
         quality.update(fused_stats)
+    quality.update(micro)
     print(json.dumps(quality), file=sys.stderr)
 
     print(json.dumps({
