@@ -212,7 +212,10 @@ class EMReferenceSDELoss(BaseOCLoss):
         drift_k_arr = self.sde.drift_coeff_t(t_ctrl)
         _, xs, zs = self._noising_states(key, x, mean_f, std_f)
         u = flat_ctrl_eval(ctrl, t_ctrl, xs)                    # (K, B, D)
-        ref = jax.vmap(self.reference_ctrl)(t_ctrl, xs)
+        # the reference goes through the same K-chunked path: an 'nn'
+        # (EBM-score) reference is a conv-net gradient, and vmapping it
+        # over all K*B states at once OOMs HBM at MNIST eval shapes
+        ref = flat_ctrl_eval(self.reference_ctrl, t_ctrl, xs)
         if self.use_rescaling:
             u = u / diff_arr[:, None, None]
         cost = jnp.sum(u * (ref + 0.5 * u), axis=-1)            # (K, B)
@@ -303,7 +306,10 @@ class EIReferenceSDELoss(EMReferenceSDELoss):
         t_ctrl = T - times_s
         _, xs, zs = self._noising_states(key, x, mean_f, std_f)
         u = flat_ctrl_eval(ctrl, t_ctrl, xs)                    # (K, B, D)
-        ref = jax.vmap(self.reference_ctrl)(t_ctrl, xs)
+        # the reference goes through the same K-chunked path: an 'nn'
+        # (EBM-score) reference is a conv-net gradient, and vmapping it
+        # over all K*B states at once OOMs HBM at MNIST eval shapes
+        ref = flat_ctrl_eval(self.reference_ctrl, t_ctrl, xs)
         steps = (-jnp.sum(u * (ref + 0.5 * u), axis=-1) * omega
                  - jnp.sum(u * zs, axis=-1) * jnp.sqrt(omega))
         rnd0 = reference_log_prob(x) - terminal_unnorm_log_prob(x)

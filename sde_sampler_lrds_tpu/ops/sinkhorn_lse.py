@@ -58,7 +58,13 @@ def _lse_kernel(p: int, n_col_tiles: int,
         s_scr[:] = jnp.zeros(s_scr.shape, jnp.float32)
 
     cost = _cost_tile(x_ref[:], y_ref[:], p)                    # (bn, bm)
-    logits = (dual_ref[:].reshape(1, -1) - cost) / eps_ref[0]
+    # dual arrives lane-major (1, bm): broadcasting it against the cost tile
+    # directly avoids an in-kernel (bm,1)->(1,bm) relayout that crashes the
+    # Mosaic compiler outright when it is the kernel's only row-vector
+    # operand (tpu_compile_helper exit 1; bisected on v5e, round 4 — the
+    # same expression compiles fine inside _cost_sum_kernel where a
+    # sublane-major u term is also present).
+    logits = (dual_ref[:] - cost) / eps_ref[0]
     tile_max = jnp.max(logits, axis=1, keepdims=True)           # (bn, 1)
     m_old = m_scr[:]
     m_new = jnp.maximum(m_old, tile_max)
@@ -87,8 +93,9 @@ def _cost_sum_kernel(p: int, n_col_tiles: int,
         acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
 
     cost = _cost_tile(x_ref[:], y_ref[:], p)
-    logits = (u_ref[:].reshape(-1, 1) + v_ref[:].reshape(1, -1)
-              - cost) / eps_ref[0]
+    # u is sublane-major (bn, 1); v arrives lane-major (1, bm) so no
+    # in-kernel relayout is needed (see _lse_kernel)
+    logits = (u_ref[:] + v_ref[:] - cost) / eps_ref[0]
     # padded rows carry u = -inf, padded cols v = -inf -> exp(.) = 0
     acc_scr[:] = acc_scr[:] + jnp.sum(jnp.exp(logits) * cost, axis=1,
                                       keepdims=True)
@@ -133,9 +140,11 @@ def pallas_lse(x, y, dual, eps, p: int = 2, bn: int = 256, bm: int = 2048,
     bm = min(bm, _round_up(y.shape[0], 128))
     x = _pad_rows(jnp.asarray(x, jnp.float32), bn)
     y_p = _pad_rows(jnp.asarray(y, jnp.float32), bm)
+    # lane-major (1, m_pad) layout — see the relayout note in _lse_kernel
     dual = _pad_rows(jnp.asarray(dual, jnp.float32).reshape(-1, 1), bm)
     dual = jnp.where(
         jnp.arange(dual.shape[0])[:, None] < y.shape[0], dual, _NEG_INF)
+    dual = dual.reshape(1, -1)
     n_pad, m_pad = x.shape[0], y_p.shape[0]
     grid = (n_pad // bn, m_pad // bm)
     if interpret is None:
@@ -149,7 +158,7 @@ def pallas_lse(x, y, dual, eps, p: int = 2, bn: int = 256, bm: int = 2048,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, x.shape[1]), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((1, bm), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
@@ -181,6 +190,7 @@ def pallas_transport_cost(x, y, u, v, eps, p: int = 2, bn: int = 256,
     v_p = _pad_rows(jnp.asarray(v, jnp.float32).reshape(-1, 1), bm)
     u_p = jnp.where(jnp.arange(u_p.shape[0])[:, None] < n, u_p, _NEG_INF)
     v_p = jnp.where(jnp.arange(v_p.shape[0])[:, None] < m, v_p, _NEG_INF)
+    v_p = v_p.reshape(1, -1)
     grid = (x_p.shape[0] // bn, y_p.shape[0] // bm)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -195,7 +205,7 @@ def pallas_transport_cost(x, y, u, v, eps, p: int = 2, bn: int = 256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((1, bm), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bn, 1), lambda i, j: (i, 0),

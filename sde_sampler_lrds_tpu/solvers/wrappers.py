@@ -7,6 +7,7 @@ wrappers drive the experiment scripts' training + evaluation protocol.
 """
 from __future__ import annotations
 
+import logging
 import math
 import time
 
@@ -74,9 +75,21 @@ class TrainableWrapper:
             return results
         if not self.eubo_available:
             return results
-        if hasattr(t, "reference_log_prob"):
-            return evaluate_eubo(t, results, t.reference_log_prob, key, use_ema=use_ema)
-        return evaluate_eubo(t, results, t.prior.log_prob, key, use_ema=use_ema)
+        # The EUBO pass is supplementary telemetry; a resource failure here
+        # (e.g. HBM exhaustion evaluating an expensive 'nn' reference over
+        # the noising trajectory) must not discard the trained run's primary
+        # results — a 196-d MNIST run is ~1h of TPU time.
+        try:
+            if hasattr(t, "reference_log_prob"):
+                return evaluate_eubo(t, results, t.reference_log_prob, key,
+                                     use_ema=use_ema)
+            return evaluate_eubo(t, results, t.prior.log_prob, key,
+                                 use_ema=use_ema)
+        except Exception as e:  # pragma: no cover - backend resource gate
+            logging.warning("EUBO evaluation failed (%r); primary results "
+                            "kept, eval/*_f metrics skipped", e)
+            results.metrics["eval/eubo_error"] = repr(e)[:200]
+            return results
 
     def run(self, key=None, keep_training_metrics: bool = False):
         t = self.trainable
