@@ -223,48 +223,29 @@ def main(bf16: bool = False):
     # Round-3 lesson: interpret-mode green != hardware green. Each row times
     # the Pallas kernel against its XLA fallback ON THIS BACKEND and records
     # a correctness delta, so every TPU bench run re-proves both kernels
-    # compile and says which path wins (VERDICT r3 item 4).
+    # compile and says which path wins (VERDICT r3 item 4). Each row runs in
+    # a SUBPROCESS with a hard timeout: a pathological Mosaic compile can
+    # crash the remote compile helper and wedge every later compile in the
+    # parent (observed round 4 with the pre-fix sinkhorn kernel), which
+    # would otherwise hang the whole bench artifact.
     micro = {}
     if "--no-micro" not in sys.argv:
-        def med_time(fn, *a, n_calls=10, reps=3):
-            jax.block_until_ready(fn(*a))
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.time()
-                outs = [fn(*a) for _ in range(n_calls)]
-                jax.block_until_ready(outs)
-                best = min(best, (time.time() - t0) / n_calls)
-            return best
-
-        try:
-            from sde_sampler_lrds_tpu.eval.sinkhorn import Sinkhorn
-            ka, kb = jax.random.split(jax.random.PRNGKey(5))
-            xs_a = target.sample(ka, (4096,))
-            xs_b = target.sample(kb, (4096,))
-            vals = {}
-            for be in ("pallas", "xla"):
-                sk = Sinkhorn(eps=1e-3, max_iters=100, backend=be)
-                vals[be] = float(sk(xs_a, xs_b))
-                micro[f"sinkhorn_{be}_time_s"] = med_time(
-                    sk, xs_a, xs_b, n_calls=3)
-            micro["sinkhorn_abs_diff"] = abs(vals["pallas"] - vals["xla"])
-            micro["sinkhorn_value"] = vals["pallas"]
-        except Exception as e:  # pragma: no cover - capability gate
-            micro["sinkhorn_pallas_error"] = repr(e)[:200]
-        try:
-            from sde_sampler_lrds_tpu.ops.resample import systematic_resample
-            lw = -0.5 * jax.random.normal(jax.random.PRNGKey(6), (8192,)) ** 2
-            f_pal = jax.jit(lambda k: systematic_resample(k, lw,
-                                                          use_pallas=True))
-            f_xla = jax.jit(lambda k: systematic_resample(k, lw,
-                                                          use_pallas=False))
-            k0 = jax.random.PRNGKey(7)
-            same = bool((f_pal(k0) == f_xla(k0)).all())
-            micro["resample_pallas_time_s"] = med_time(f_pal, k0, n_calls=50)
-            micro["resample_xla_time_s"] = med_time(f_xla, k0, n_calls=50)
-            micro["resample_match"] = same
-        except Exception as e:  # pragma: no cover - capability gate
-            micro["resample_pallas_error"] = repr(e)[:200]
+        for row in ("sinkhorn", "resample"):
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__, "--micro-row", row],
+                    capture_output=True, text=True, timeout=900)
+                line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() \
+                    else "{}"
+                micro.update(json.loads(line))
+                if r.returncode != 0 and f"{row}_error" not in micro:
+                    micro[f"{row}_error"] = r.stderr[-200:]
+            except subprocess.TimeoutExpired:
+                micro[f"{row}_error"] = "timeout (900s) - kernel or backend hang"
+            except Exception as e:  # pragma: no cover - capability gate
+                micro[f"{row}_error"] = repr(e)[:200]
+            print(f"[bench +{time.time() - overall_start:.0f}s] micro row "
+                  f"{row} done", file=sys.stderr, flush=True)
 
     # ---- quality metrics (stderr) ---------------------------------------
     log_z, ess = is_stats(rnd)
@@ -297,7 +278,60 @@ def main(bf16: bool = False):
     }))
 
 
+def micro_row(row: str):
+    """One Pallas-vs-XLA microbench row, self-contained (run in a
+    subprocess by main; see the micro section for why). Prints ONE JSON
+    line to stdout."""
+    import jax
+    import jax.numpy as jnp
+    from sde_sampler_lrds_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    def med_time(fn, *a, n_calls=10, reps=3):
+        jax.block_until_ready(fn(*a))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            outs = [fn(*a) for _ in range(n_calls)]
+            jax.block_until_ready(outs)
+            best = min(best, (time.time() - t0) / n_calls)
+        return best
+
+    out = {}
+    if row == "sinkhorn":
+        from sde_sampler_lrds_tpu.eval.sinkhorn import Sinkhorn
+        ka, kb = jax.random.split(jax.random.PRNGKey(5))
+        xs_a = jax.random.normal(ka, (4096, 8))
+        xs_b = jax.random.normal(kb, (4096, 8)) + 0.5
+        vals = {}
+        for be in ("pallas", "xla"):
+            sk = Sinkhorn(eps=1e-3, max_iters=100, backend=be)
+            vals[be] = float(sk(xs_a, xs_b))
+            out[f"sinkhorn_{be}_time_s"] = med_time(sk, xs_a, xs_b, n_calls=3)
+        out["sinkhorn_abs_diff"] = abs(vals["pallas"] - vals["xla"])
+        out["sinkhorn_value"] = vals["pallas"]
+    elif row == "resample":
+        from sde_sampler_lrds_tpu.ops.resample import systematic_resample
+        lw = -0.5 * jax.random.normal(jax.random.PRNGKey(6), (8192,)) ** 2
+        f_pal = jax.jit(lambda k: systematic_resample(k, lw, use_pallas=True))
+        f_xla = jax.jit(lambda k: systematic_resample(k, lw, use_pallas=False))
+        k0 = jax.random.PRNGKey(7)
+        out["resample_match"] = bool((f_pal(k0) == f_xla(k0)).all())
+        out["resample_pallas_time_s"] = med_time(f_pal, k0, n_calls=50)
+        out["resample_xla_time_s"] = med_time(f_xla, k0, n_calls=50)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
+    if "--micro-row" in sys.argv:
+        row_name = sys.argv[sys.argv.index("--micro-row") + 1]
+        try:
+            micro_row(row_name)
+        except Exception as e:  # pragma: no cover - capability gate
+            print(json.dumps({f"{row_name}_error": repr(e)[:200]}))
+            sys.exit(1)
+        sys.exit(0)
     if not wait_for_backend():
         print(json.dumps({"metric": "rds_eval_throughput",
                           "error": "tpu_unavailable"}))
