@@ -190,12 +190,23 @@ def run_sampling_baseline(key, kind, target, mean, var, eval_batch_size: int,
 
 
 def dump_results(path: str | Path, filename: str, config: dict, results: list):
-    """Pickle {config, results} like every reference driver."""
+    """Pickle {config, results} like every reference driver.
+
+    Written atomically (tmp file + os.replace): the queue scripts run each
+    driver under ``timeout``, and a SIGTERM landing mid-pickle.dump must not
+    leave a truncated artifact in place of the last good one (ADVICE r4)."""
+    import os
+
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    clean_cfg = {k: v for k, v in config.items() if not callable(v)}
-    with open(path / filename, "wb") as f:
-        pickle.dump({"config": clean_cfg, "results": _to_host(results)}, f)
+    tmp = path / (filename + ".tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump({"config": clean_config(config), "results": _to_host(results)}, f)
+    os.replace(tmp, path / filename)
+
+
+def clean_config(config: dict) -> dict:
+    return {k: v for k, v in config.items() if not callable(v)}
 
 
 def _to_host(obj):

@@ -10,31 +10,34 @@ set -u
 cd "$(dirname "$0")/../experiments"
 LOG=/tmp/competing_queue.log
 : > "$LOG"
+FAIL=0
 note() { echo "[queue $(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
+check() { local rc=$1; shift; note "$* rc=$rc"; [ "$rc" -ne 0 ] && FAIL=1; }
 
 note "=== TwoModes d=16 ==="
 for S in pis_orig dis_orig cmcd dds_orig smc re; do
   note "two_modes $S start"
   timeout 1500 python sample_two_modes_competing.py --solver_type "$S" \
     --dim_range 16 >> "$LOG" 2>&1
-  note "two_modes $S rc=$?"
+  check $? "two_modes $S"
 done
 
 note "=== TwoModes d=16 LRDS (fitted-GMM ref, matched budget) ==="
 timeout 1500 python two_modes_mcmc_gmm.py --ref_type gmm --dim_range 16 \
   >> "$LOG" 2>&1
-note "two_modes lrds rc=$?"
+check $? "two_modes lrds"
 
 note "=== ManyModes dim 8 ==="
 for S in pis_orig dis_orig cmcd dds_orig smc re; do
   note "many_modes $S start"
   timeout 2400 python sample_many_modes_competing.py --solver_type "$S" \
     --n_modes_range "${MM_MODES:-4,16,64}" >> "$LOG" 2>&1
-  note "many_modes $S rc=$?"
+  check $? "many_modes $S"
 done
 
 note "=== ManyModes LRDS (fitted-GMM ref, matched budget) ==="
 timeout 2400 python many_modes_mcmc_gmm.py --n_modes_range "${MM_MODES:-4,16,64}" \
   >> "$LOG" 2>&1
-note "many_modes lrds rc=$?"
-note "queue done"
+check $? "many_modes lrds"
+note "queue done (FAIL=$FAIL)"
+exit "$FAIL"

@@ -190,6 +190,25 @@ class TrainableDiff(Trainable):
                 self.mesh, cfg, arrays, x0, zs)
         return lambda x0, zs: fused_traj_states(cfg, arrays, x0, zs)
 
+    def train_path(self) -> str:
+        """Which training path ``loss_fn`` resolves to for the CURRENT
+        config/state — telemetry only (bench.py records it next to the
+        timing so an artifact proves on its face which path ran):
+
+          'flat_lv_fused'  flat LV restructuring, fused Pallas simulation
+          'flat_lv_scan'   flat LV restructuring, scan simulation
+          'kl_fused'       custom-VJP fused-kernel KL path
+          'scan'           reference-shaped scan (solver/base.py:401-457)
+        """
+        params = self.state.params if getattr(self, "state", None) is not None \
+            else self.init_params(jax.random.PRNGKey(0))
+        if self._flat_lv_ok():
+            return ("flat_lv_fused" if self._flat_traj_fn(params) is not None
+                    else "flat_lv_scan")
+        if self._fused_kl_fn(params) is not None:
+            return "kl_fused"
+        return "scan"
+
     def evaluate(self, key: jax.Array, use_ema: bool = True,
                  compute_weights: bool = True, return_traj: bool = False) -> Results:
         """Evaluation pass. ``return_traj`` defaults to False (the reference

