@@ -269,8 +269,14 @@ def add_common_args(parser, dataset_size=40000, train_steps=4096,
 
 def competing_run(args, target, target_details, x_init, filename_stub,
                   extra_params=None, model_type="target_informed_zero_init",
-                  mcmc_step_size=1e-3):
-    """One (target-config, solver) cell of a *_competing.py driver."""
+                  mcmc_step_size=1e-3, dis_vp20=False):
+    """One (target-config, solver) cell of a *_competing.py driver.
+
+    ``dis_vp20``: run DIS on the vp_20 schedule. ONLY the reference's
+    ManyModes competing driver does this (sample_many_modes_competing.py:111);
+    every other competing driver leaves DIS on the default vp_10
+    (sample_two_modes_competing.py make_model call has no force_vp20).
+    Round-4 applied it unconditionally — a protocol deviation on TwoModes."""
     key = jax.random.PRNGKey(args.seed)
     key, k_data, k_vi, k_base = jax.random.split(key, 4)
     dataset, mean, var, var_diag, times = build_dataset_and_gaussian(
@@ -295,7 +301,7 @@ def competing_run(args, target, target_details, x_init, filename_stub,
             ref_type="gaussian" if args.solver_type == "cmcd" else "default",
             model_type=model_type,
             n_steps=args.n_steps,
-            force_vp20=args.solver_type == "dis_orig")
+            force_vp20=dis_vp20 and args.solver_type == "dis_orig")
     else:
         all_metrics = run_sampling_baseline(
             k_base, args.solver_type, target, mean, var, args.eval_batch_size,
@@ -507,6 +513,9 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
     if select_best and trainer.best_params is not None:
         extra["ebm_select_step"] = trainer.best_step
         extra["ebm_select_fwd_ess"] = trainer.best_score
+    if select_best:
+        # the full (step, fwd-ESS) trace — the over/under-training curve
+        extra["ebm_select_history"] = list(getattr(trainer, "select_history", []))
     if return_trainer:
         extra["trainer"] = trainer
         extra["losses"] = losses

@@ -33,5 +33,8 @@ for dim, n_modes in itertools.product(
                          extra_params={"dim": dim, "n_modes": n_modes},
                          solver_type=args.solver_type,
                          integrator_type=args.integrator_type,
-                         n_gmm_components=n_modes))
+                         n_gmm_components=n_modes,
+                         # vp_20 schedule for vp-ref, like the reference's
+                         # many_modes_mcmc_gmm.py:124
+                         force_vp20=args.solver_type == "vp-ref"))
     dump_results(args.results_path, filename, config, dump)

@@ -36,5 +36,8 @@ for dim, n_modes, factor, var in itertools.product(dims, n_modes_list, factors, 
     dump.append(competing_run(
         args, target, details, target.loc, filename,
         extra_params={"dim": dim, "n_modes": n_modes,
-                      "mixture_weight_factor": factor, "var": var}))
+                      "mixture_weight_factor": factor, "var": var},
+        # the reference runs DIS on vp_20 here and ONLY here
+        # (sample_many_modes_competing.py:111)
+        dis_vp20=True))
     dump_results(args.results_path, filename, config, dump)

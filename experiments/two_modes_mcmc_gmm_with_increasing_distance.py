@@ -33,5 +33,7 @@ for a in [float(x) for x in args.a_range.split(",")]:
                          extra_params={"a": a, "dim": args.dim},
                          solver_type=args.solver_type,
                          integrator_type=args.integrator_type,
-                         n_gmm_components=args.n_components))
+                         n_gmm_components=args.n_components,
+                         # reference two_modes_mcmc_gmm_with_increasing_distance.py:124
+                         force_vp20=args.solver_type == "vp-ref"))
     dump_results(args.results_path, filename, config, dump)

@@ -39,5 +39,10 @@ note "=== ManyModes LRDS (fitted-GMM ref, matched budget) ==="
 timeout 2400 python many_modes_mcmc_gmm.py --n_modes_range "${MM_MODES:-4,16,64}" \
   >> "$LOG" 2>&1
 check $? "many_modes lrds"
+
+# regenerate the results summary in the same session that produced the
+# pickles — a queue run can no longer land bare artifacts (VERDICT r4 #8)
+python summarize_results.py >> "$LOG" 2>&1
+check $? "summarize"
 note "queue done (FAIL=$FAIL)"
 exit "$FAIL"

@@ -396,6 +396,9 @@ class MaximumLikelihoodEBM:
 
         losses, grad_norms, diagnostics = [], [], []
         self.best_params = self.best_score = self.best_step = None
+        # full (step, score) trace of every select_fn evaluation — the
+        # over/under-training diagnostic curve (docs/RESULTS.md MNIST)
+        self.select_history = []
         sel_every = select_every if select_every is not None else n_batches
         sel_last = [-(10**9)]
 
@@ -404,10 +407,16 @@ class MaximumLikelihoodEBM:
                 return
             sel_last[0] = step_pos
             score = float(select_fn(ema if use_ema else params))
+            self.select_history.append((int(step_pos), score))
             if np.isfinite(score) and (self.best_score is None
                                        or score > self.best_score):
                 self.best_score, self.best_step = score, step_pos
                 self.best_params = ema if use_ema else params
+
+        # score the untrained params too: with a zero-init tilt this is the
+        # GMM-only baseline every later point on the curve is judged against
+        maybe_select(0, self.params, self.ema_params)
+        sel_last[0] = -(10**9)
 
         grad_acc = jax.tree.map(jnp.zeros_like, self.params)
         opt_step = jnp.asarray(0, jnp.int32)

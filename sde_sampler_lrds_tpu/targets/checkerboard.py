@@ -56,7 +56,16 @@ class Checkerboard(Target):
             axis=-1,
         )  # (B, K); squares have area 4 -> component density 1/4
         dens = jnp.sum(self._probs[None, :] * inside / 4.0, axis=-1)
-        lp = jnp.where(dens > 0, jnp.log(jnp.maximum(dens, 1e-38)), -1e8)
+        # off-board mass is exactly zero -> -inf, like the reference's
+        # MixtureSameFamily log_prob (checkerboard.py:84). The -inf is
+        # deliberate and filterable: an off-board terminal sample makes
+        # rnd = +inf, which trips the isfinite leg of the max_rnd filter
+        # (losses/base.py compute_results / BaseOCLoss training mask) —
+        # the round-4 -1e8 sentinel instead produced rnd ~ 1e8 that passed
+        # rnd < max_rnd=1e8 just under the wire, so the filtered metrics
+        # this target needs never engaged. score() is an explicit zeros
+        # override, so no gradient ever differentiates through this.
+        lp = jnp.where(dens > 0, jnp.log(jnp.maximum(dens, 1e-38)), -jnp.inf)
         return lp.reshape(x.shape[:-1])
 
     def score(self, x: jnp.ndarray) -> jnp.ndarray:
