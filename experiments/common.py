@@ -150,10 +150,12 @@ def run_sampling_baseline(key, kind, target, mean, var, eval_batch_size: int,
     re_kwargs = {**{"n_steps": 128, "step_size": 1e-4, "batch_size": 1024,
                     "swap_frequency": 8, "n_mcmc_steps": 32,
                     "n_warmup_mcmc_steps": 4096}, **(re_kwargs or {})}
+    # each run yields n_mcmc_steps pooled slots of the whole population at
+    # the target level (sample_two_modes_competing.py:152-153, 183-184)
     if kind == "smc":
-        per_run = smc_kwargs["n_particles"]
+        per_run = smc_kwargs["n_particles"] * smc_kwargs["n_mcmc_steps"]
     else:
-        per_run = re_kwargs["batch_size"]
+        per_run = re_kwargs["batch_size"] * re_kwargs["n_mcmc_steps"]
     n_runs = max(int((eval_batch_size * n_sampling_seeds) / per_run), 1)
     all_metrics, sampling_time = [], 0.0
     collected = []
@@ -390,7 +392,8 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
                         reg_val=0.0, reweight_loss=False, use_ema=False,
                         use_precond=False, return_trainer=False,
                         target=None, select_best=False, select_size=4096,
-                        select_every=None, net_arch="mlp"):
+                        select_every=None, net_arch="mlp",
+                        pretrained_params_path=None):
     """Fit a GMM on the dataset, tilt it with a neural energy, and train the
     EBM by RE-based contrastive MLE (the *_ebm_mcmc.py reference pipeline:
     fit_gmm -> GMMTiltedPotential -> MaximumLikelihoodEBM.train). Returns the
@@ -440,6 +443,21 @@ def train_ebm_reference(key, dataset, mean, var_diag, n_gmm_components=2,
         base_model=base_net,
         sde=sde, weights=w, means=m, variances=v, t_limit=t_limit,
         tilt_type=tilt)
+    if pretrained_params_path is not None:
+        # reuse a checkpoint saved by mnist_ebm_curve.py: the curve run is
+        # key-identical (same seed split, same dataset, same GMM fit), so
+        # loading its selected params skips the full EBM budget here
+        from flax import serialization
+
+        template = pot.init(jax.random.PRNGKey(0), jnp.zeros((2,)),
+                            jnp.zeros((2, dim)))
+        params = serialization.from_bytes(
+            template, Path(pretrained_params_path).read_bytes())
+        stage(f"loaded pretrained EBM params from {pretrained_params_path}")
+        score_apply = lambda p, t, x: pot.apply(p, t, x)
+        log_prob_apply = lambda p, t, x: pot.apply(p, t, x,
+                                                   method="unnorm_log_prob")
+        return (score_apply, log_prob_apply, params), {"ebm_train": 0.0}
     prior = Gauss(dim=dim, loc=mean, scale=jnp.sqrt(var_diag))
     sampler = {"mle_re": "replica_exchange", "mle_smc": "smc",
                "mle_cd": "cd"}.get(ebm_type, "replica_exchange")

@@ -82,6 +82,19 @@ stage(f"GMM-only fwd ESS {gmm_ess}; best {extra.get('ebm_select_fwd_ess')} "
 for st, sc in history:
     print(f"  step {st:>7d}  fwd_ess {sc:.6f}")
 
+# persist the selected params: the EBM training here is key-identical to
+# sample_mnist_unet.py's (same seed split), so the sampler run can load
+# this checkpoint with --ebm_params_from instead of re-paying the full
+# EBM budget (~80 min at 300 epochs on one chip)
+from flax import serialization
+
+out_dir = Path(args.results_path)
+out_dir.mkdir(parents=True, exist_ok=True)
+params_path = out_dir / f"ebm_params_{args.target_type}_seed_{args.seed}.msgpack"
+_, _, sel_params = net
+params_path.write_bytes(serialization.to_bytes(sel_params))
+stage(f"saved selected EBM params -> {params_path}")
+
 dump_results(args.results_path, f"ebm_curve_{args.target_type}_seed_{args.seed}.pkl",
              config, [{"gmm_fwd_ess": gmm_ess,
                        "history": history,

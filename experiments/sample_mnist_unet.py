@@ -60,6 +60,8 @@ parser.add_argument("--ebm_n_mcmc_steps", type=int, default=8)
 parser.add_argument("--ebm_warmup", type=int, default=1024)
 parser.add_argument("--ebm_reg", type=float, default=1e-3)
 parser.add_argument("--ebm_t_limit", type=float, default=0.01)
+# reuse a checkpoint saved by mnist_ebm_curve.py (key-identical pipeline)
+parser.add_argument("--ebm_params_from", type=str, default=None)
 add_common_args(parser, dataset_size=20000, train_steps=20000,
                 train_batch=256, eval_batch=2048)
 args = parser.parse_args()
@@ -107,7 +109,8 @@ if args.ref_type == "nn":
         ebm_batch_size=args.ebm_batch_size, lr=args.ebm_lr,
         step_size=args.ebm_step_size, n_mcmc_steps=args.ebm_n_mcmc_steps,
         initial_n_warmup_mcmc_steps=args.ebm_warmup, reg_val=args.ebm_reg,
-        t_limit=args.ebm_t_limit, target=target, select_best=True)
+        t_limit=args.ebm_t_limit, target=target, select_best=True,
+        pretrained_params_path=args.ebm_params_from)
     times.update({k: v for k, v in ebm_extra.items()
                   if isinstance(v, (int, float))})
     ebm_diag = {k: v for k, v in ebm_extra.items()

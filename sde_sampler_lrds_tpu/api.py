@@ -615,8 +615,13 @@ def define_tempering_utils(mean, var, target_log_prob, target_score=None):
 def run_smc_sampler(key, mean, var, n_steps, step_size, n_particles, n_mcmc_steps,
                     n_warmup_mcmc_steps, target_log_prob, target_score=None,
                     reweight_threshold: float = 1.0, target_acceptance: float = 0.75):
-    """SMC baseline on the tempering path; returns the level-0 samples of the
-    first MCMC slot, matching the reference's [0][0] (benchmark_utils.py:459)."""
+    """SMC baseline on the tempering path. Returns the full level-0 (target,
+    t=0) block of shape (n_mcmc_steps, n_particles, dim): the reference's
+    ``smc_sampler(...)[0][0]`` (benchmark_utils.py:477) indexes the returned
+    TUPLE first and then the level axis, keeping every MCMC slot — the
+    competing drivers then pool n_particles·n_mcmc_steps samples per run
+    (sample_two_modes_competing.py:153). Round-4 sliced one slot here,
+    which inflated the baseline's run count 32x and timed the RE rows out."""
     prior, lpg = define_tempering_utils(mean, var, target_log_prob, target_score)
     times = jnp.linspace(0.0, 1.0, n_steps)
     k_init, k_run = jax.random.split(key)
@@ -626,13 +631,16 @@ def run_smc_sampler(key, mean, var, n_steps, step_size, n_particles, n_mcmc_step
         n_mcmc_steps=n_mcmc_steps,
         step_sizes_per_noise=jnp.full((n_steps, n_particles, 1), step_size),
         reweight_threshold=reweight_threshold, target_acceptance=target_acceptance)
-    return samples[0][0]
+    return samples[0]
 
 
 def run_re_sampler(key, mean, var, n_steps, step_size, batch_size, swap_frequency,
                    n_mcmc_steps, n_warmup_mcmc_steps, target_log_prob,
                    target_score=None, target_acceptance: float = 0.75):
-    """Replica-exchange baseline on the tempering path (benchmark_utils.py:479)."""
+    """Replica-exchange baseline on the tempering path (benchmark_utils.py:479).
+    Returns the level-0 (target) block (n_mcmc_steps, batch_size, dim) —
+    every MCMC slot, like the reference's tuple-then-level ``[0][0]``
+    (see run_smc_sampler)."""
     prior, lpg = define_tempering_utils(mean, var, target_log_prob, target_score)
     times = jnp.linspace(0.0, 1.0, n_steps)
     k_init, k_run = jax.random.split(key)
@@ -642,7 +650,7 @@ def run_re_sampler(key, mean, var, n_steps, step_size, batch_size, swap_frequenc
         n_warmup_mcmc_steps=n_warmup_mcmc_steps, n_mcmc_steps=n_mcmc_steps,
         step_sizes_per_noise=jnp.full((n_steps,), step_size),
         target_acceptance=target_acceptance)
-    return samples[0][0]
+    return samples[0]
 
 
 def score_with_reference_score(score_ref: Callable, score: Callable) -> Callable:

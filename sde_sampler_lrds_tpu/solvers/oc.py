@@ -474,11 +474,18 @@ class CMCD(TrainableDiff):
         if not isinstance(self.prior, (Gauss, GaussFull)):
             raise ValueError("Can only be used with gaussian prior.")
         if not isinstance(self.sde, ControlledLangevinSDE):
-            # build the annealed-Langevin SDE from the prior/target scores
+            # build the annealed-Langevin SDE from the prior/target scores.
+            # clip_score=1e5 is the reference default
+            # (conf/sde/controlled_langevin.yaml:4) and is load-bearing:
+            # without it a single large-|x| excursion feeds an unclipped
+            # tempering drift back into the trajectory and the LV training
+            # diverges (TwoModes d=16, all seeds, ~step 1000 — round-5
+            # repro /tmp/cmcd_variants vs the stable torch reference run).
             self.sde = ControlledLangevinSDE(
                 target_score=self.target.score, prior_score=self.prior.score,
                 diff_coeff=getattr(self.sde, "diff_coeff", 1.0),
-                terminal_t=getattr(self.sde, "terminal_t", 1.0))
+                terminal_t=getattr(self.sde, "terminal_t", 1.0),
+                clip_score=getattr(self.sde, "clip_score", None) or 1e5)
         self.inference_sde = self.sde
         super().setup_models()
 
@@ -491,7 +498,8 @@ class CMCD(TrainableDiff):
             self.prior = Gauss(dim=dim, loc=mean, scale=jnp.sqrt(var))
         self.sde = ControlledLangevinSDE(
             target_score=self.target.score, prior_score=self.prior.score,
-            diff_coeff=self.sde.diff_coeff, terminal_t=self.sde.terminal_t)
+            diff_coeff=self.sde.diff_coeff, terminal_t=self.sde.terminal_t,
+            clip_score=self.sde.clip_score)
         self.inference_sde = self.sde
         self.loss = self.loss_cls(sde=self.sde, **self.loss_kwargs)
         # cached eval jits (and the fused-eligibility verdict) close over

@@ -170,15 +170,16 @@ def test_tempering_smc_and_re_baselines():
                          n_warmup_mcmc_steps=8,
                          target_log_prob=target.unnorm_log_prob,
                          target_score=target.score)
-    assert s1.shape == (512, 2)
-    mw = float(target.compute_mode_weight(s1))
+    # full level-0 block: every MCMC slot, reference tuple-then-level [0][0]
+    assert s1.shape == (4, 512, 2)
+    mw = float(target.compute_mode_weight(s1.reshape(-1, 2)))
     assert 40.0 < mw < 95.0
     s2 = run_re_sampler(jax.random.PRNGKey(4), mean, var, n_steps=8,
                         step_size=0.05, batch_size=256, swap_frequency=4,
                         n_mcmc_steps=64, n_warmup_mcmc_steps=64,
                         target_log_prob=target.unnorm_log_prob,
                         target_score=target.score)
-    assert s2.shape == (256, 2)
+    assert s2.shape == (64, 256, 2)
 
 
 def test_make_target_registry():
