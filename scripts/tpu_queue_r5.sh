@@ -34,19 +34,23 @@ run_stage() {
 }
 
 stages=("$@")
-[ ${#stages[@]} -eq 0 ] && stages=(compete_fix checker mnist01 micro bench)
+[ ${#stages[@]} -eq 0 ] && stages=(micro compete_core mnist01 checker compete_more bench)
 
 for s in "${stages[@]}"; do
   case "$s" in
-    compete_fix)
-      run_stage compete_re2m 2400 python experiments/sample_two_modes_competing.py \
-        --solver_type re --dim_range 16 --results_path experiments/results
-      run_stage compete_smc2m 2400 python experiments/sample_two_modes_competing.py \
-        --solver_type smc --dim_range 16 --results_path experiments/results
-      run_stage compete_dis2m 2400 python experiments/sample_two_modes_competing.py \
-        --solver_type dis_orig --dim_range 16 --results_path experiments/results
+    compete_core)
+      # the three rows round 4 got wrong (CMCD clip_score, DIS protocol
+      # parity) or never ran (RE) — highest table value per TPU-minute
       run_stage compete_cmcd2m 2400 python experiments/sample_two_modes_competing.py \
         --solver_type cmcd --dim_range 16 --results_path experiments/results
+      run_stage compete_dis2m 2400 python experiments/sample_two_modes_competing.py \
+        --solver_type dis_orig --dim_range 16 --results_path experiments/results
+      run_stage compete_re2m 2400 python experiments/sample_two_modes_competing.py \
+        --solver_type re --dim_range 16 --results_path experiments/results
+      ;;
+    compete_more)
+      run_stage compete_smc2m 2400 python experiments/sample_two_modes_competing.py \
+        --solver_type smc --dim_range 16 --results_path experiments/results
       run_stage compete_remm 3600 python experiments/sample_many_modes_competing.py \
         --solver_type re --n_modes_range 4,16,64 --results_path experiments/results
       run_stage compete_smcmm 3600 python experiments/sample_many_modes_competing.py \
@@ -56,8 +60,14 @@ for s in "${stages[@]}"; do
       run_stage checker 3600 python experiments/sample_toy_ebm_mcmc.py \
         --target_type checkerboard --results_path experiments/results ;;
     mnist01)
-      run_stage mnist01 14400 python experiments/sample_mnist_unet.py \
+      # EBM curve first (fwd-ESS vs epoch trace, saves selected params),
+      # then the sampler run reuses the checkpoint (key-identical split)
+      run_stage mnist_curve 8400 python experiments/mnist_ebm_curve.py \
+        --target_type mnist_zero_one --ebm_epochs 300 \
+        --results_path experiments/results_mnist
+      run_stage mnist01 7200 python experiments/sample_mnist_unet.py \
         --ref_type nn --target_type mnist_zero_one --ebm_epochs 300 \
+        --ebm_params_from experiments/results_mnist/ebm_params_mnist_zero_one_seed_0.msgpack \
         --results_path experiments/results_mnist ;;
     micro)
       run_stage profile_fused 2400 python scripts/profile_fused.py
