@@ -69,6 +69,17 @@ def build(dim=8, k_steps=100, bf16=False, ref="gmm", block_b=8192):
 
 def time_row(label, cfg, arrays, term, ref_lp, dim, batch, reps,
              use_key=True):
+    try:
+        return _time_row(label, cfg, arrays, term, ref_lp, dim, batch, reps,
+                         use_key)
+    except Exception as e:  # keep profiling the other rows
+        print(json.dumps({"row": label, "batch": batch,
+                          "error": repr(e)[:300]}), flush=True)
+        return None
+
+
+def _time_row(label, cfg, arrays, term, ref_lp, dim, batch, reps,
+              use_key=True):
     cfg_b = adapt_block(cfg, batch)
     x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, dim))
     noise = None if use_key else jax.random.normal(

@@ -541,12 +541,17 @@ def fused_simulate(cfg: FusedTrajCfg, arrays: dict, key, x0,
     (K, B, D), when given, replaces the on-core PRNG for bit-comparable
     testing against the scan path."""
     b = x0.shape[0]
-    cfg = adapt_block(cfg, b)
     x0 = jnp.asarray(x0, jnp.float32)
     if noise is not None:
+        # host-fed noise streams a (K, D, block_b) block per tile — same
+        # VMEM pressure as the return_traj output, so the same cap applies
+        # (one stream here; _cap_block_for_traj budgets two). Uncapped this
+        # was a real-TPU scoped-vmem OOM at K=100, B=8192: 26 MiB > 16 MiB.
+        cfg = _cap_block_for_streams(cfg, b, n_streams=1)
         x_t, rnd, _ = _fused_traj(cfg, arrays, x0,
                                   jnp.asarray(noise, jnp.float32), True)
     else:
+        cfg = adapt_block(cfg, b)
         seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
         x_t, rnd, _ = _fused_traj(cfg, arrays, x0, seed, False)
@@ -558,19 +563,26 @@ def fused_simulate(cfg: FusedTrajCfg, arrays: dict, key, x0,
     return x_t, rnd
 
 
-def _cap_block_for_traj(cfg: FusedTrajCfg, batch: int) -> FusedTrajCfg:
-    """Block size for return_traj=True calls: the per-tile xs output block
-    is (K, D, block_b) f32 and must fit in VMEM (~16 MiB/core) alongside
-    the noise block of the same size and the state/table buffers — cap
-    block_b so 2·K·D·block_b·4 stays under a ~10 MiB budget (grid iteration
-    count is free; block size is not). In the transposed layout the budget
-    math is exact: batch is the lane axis, so the buffers carry no hidden
-    D → 128 lane padding (the round-3 OOM: the (K, block_b, D=8) blocks
-    cost 16× their nominal bytes and blew the 16 MiB scoped-vmem limit)."""
-    budget_rows = max((10 << 20) // (2 * 4 * cfg.k_steps * cfg.dim), 128)
+def _cap_block_for_streams(cfg: FusedTrajCfg, batch: int,
+                           n_streams: int) -> FusedTrajCfg:
+    """Cap block_b so ``n_streams`` resident (K, D, block_b) f32 blocks —
+    host-fed noise and/or the return_traj xs output — fit in VMEM
+    (~16 MiB/core) alongside the state/table buffers: n·K·D·block_b·4 stays
+    under a ~10 MiB budget (grid iteration count is free; block size is
+    not). In the transposed layout the budget math is exact: batch is the
+    lane axis, so the buffers carry no hidden D → 128 lane padding (the
+    round-3 OOM: the (K, block_b, D=8) blocks cost 16× their nominal bytes
+    and blew the 16 MiB scoped-vmem limit)."""
+    budget_rows = max((10 << 20) // (n_streams * 4 * cfg.k_steps * cfg.dim),
+                      128)
     if cfg.block_b > budget_rows:
         cfg = dataclasses.replace(cfg, block_b=1 << (budget_rows.bit_length() - 1))
     return adapt_block(cfg, batch)
+
+
+def _cap_block_for_traj(cfg: FusedTrajCfg, batch: int) -> FusedTrajCfg:
+    """return_traj=True with host-fed noise: two streams (noise + xs)."""
+    return _cap_block_for_streams(cfg, batch, n_streams=2)
 
 
 def fused_traj_states(cfg: FusedTrajCfg, arrays: dict, x0,

@@ -994,6 +994,42 @@ def test_cap_block_for_traj_exact_budget():
                                batch=1 << 20).block_b >= 128
 
 
+def test_fused_simulate_noise_path_caps_block():
+    """Host-fed noise streams a (K, D, block_b) block per tile, so
+    fused_simulate must cap block_b against the VMEM budget exactly like
+    the return_traj path (one stream instead of two). Uncapped, the
+    bit-comparable-noise path at bench shapes (K=100, B=8192, D=8) was a
+    real-TPU scoped-vmem OOM: 26 MiB > the 16 MiB limit (round-5 profiler
+    host_noise row). The cap must also preserve scan parity through the
+    now-multi-tile path."""
+    import dataclasses as _dc
+
+    from sde_sampler_lrds_tpu.ops.fused_traj import _cap_block_for_streams
+
+    loss, ctrl, params, ctrl_fn, ts = _setup(EIReferenceSDELoss)
+    cfg, arrays = build_plan(loss, ctrl, params, ts, block_b=128)
+    # budget check at the real failing shape (K=100, D=8): one stream
+    big = _dc.replace(cfg, k_steps=100, dim=8, block_b=8192)
+    capped = _cap_block_for_streams(big, batch=8192, n_streams=1)
+    assert 1 * 4 * 100 * 8 * capped.block_b <= (10 << 20)
+    assert capped.block_b & (capped.block_b - 1) == 0
+    # parity at test scale: force the cap to engage (block 64 < requested
+    # 128 via an inflated K in the budget, then run at the true cfg)
+    batch = 96
+    k_x, k_z = jax.random.split(jax.random.PRNGKey(51))
+    x0 = jax.random.normal(k_x, (batch, DIM))
+    noise = jax.random.normal(k_z, (K, batch, DIM))
+    term = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    ref_lp = lambda x: -0.6 * jnp.sum((x - 0.1) ** 2, axis=-1)
+    x_f, r_f = fused_simulate(cfg, arrays, None, x0, term, ref_lp,
+                              noise=noise)
+    x_s, r_s, _ = loss.simulate(jax.random.PRNGKey(7), ts, x0, ctrl_fn,
+                                term, ref_lp, change_sde_ctrl=False,
+                                noise=noise)
+    np.testing.assert_allclose(x_f, x_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(r_f, r_s, rtol=2e-5, atol=2e-4)
+
+
 def test_fused_full_cov_return_traj_padded_tile():
     """Full-covariance reference + return_traj through a padded partial
     tile — the exact configuration the round-4 transpose rewrite changed
