@@ -91,15 +91,21 @@ def _time_row(label, cfg, arrays, term, ref_lp, dim, batch, reps,
         return fused_simulate(cfg_b, arrays, k, x0, term, ref_lp, noise=noise)
 
     jax.block_until_ready(run(0))  # compile
-    times = []
-    for i in range(reps):
+    # The axon runtime has a ~23-40 ms per-call host round trip; a
+    # blocking per-rep loop measures tunnel latency, not the ~2 ms kernel.
+    # Pipeline `reps` async dispatches and block once (bench.py's method),
+    # repeated 3x; report the best pipeline average as the device time.
+    pipelines = []
+    for p in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(i + 1))
-        times.append(time.perf_counter() - t0)
-    med = statistics.median(times)
+        outs = [run(1 + p * reps + i) for i in range(reps)]
+        jax.block_until_ready(outs)
+        pipelines.append((time.perf_counter() - t0) / reps)
+    med = min(pipelines)
     row = {"row": label, "batch": batch, "k": cfg.k_steps,
-           "block_b": cfg_b.block_b, "median_ms": round(med * 1e3, 4),
-           "min_ms": round(min(times) * 1e3, 4)}
+           "block_b": cfg_b.block_b,
+           "pipelined_ms": round(med * 1e3, 4),
+           "pipeline_runs_ms": [round(t * 1e3, 4) for t in pipelines]}
     print(json.dumps(row), flush=True)
     return med
 
