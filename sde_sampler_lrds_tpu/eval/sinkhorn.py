@@ -54,12 +54,14 @@ class Sinkhorn:
         self.stop_thresh = stop_thresh
         self.n_max = n_max
         self.block_size = block_size
-        # 'xla' = tiled lax.map reductions; 'pallas' = the fused TPU
-        # tile kernel (ops/sinkhorn_lse: cost tile + online LSE in VMEM,
-        # the cost matrix never touches HBM; interpret-mode off-TPU);
-        # 'native' = the JIT-built C++/OpenMP host library (eval/native,
-        # the pykeops-parity tier); 'auto' = pallas on a TPU backend,
-        # else native when it builds, else xla.
+        # 'xla' = tiled lax.map reductions (the default and the fastest
+        # tier on TPU — measured round 5, docs/PERF.md §2); 'pallas' = the
+        # experimental fused TPU tile kernel (ops/sinkhorn_lse: cost tile +
+        # online LSE in VMEM; exact numeric parity but ~10 % slower than
+        # the XLA tier on v5e, kept for a future VPU-bound rework;
+        # interpret-mode off-TPU); 'native' = the JIT-built C++/OpenMP
+        # host library (eval/native, the pykeops-parity tier); 'auto' =
+        # xla on a TPU backend, else native when it builds, else xla.
         self.backend = backend
         # ε-scaling: warm-start the duals through a geometric ε schedule.
         # At ε=1e-3 in f32 the raw iteration collapses to alternating hard
@@ -202,17 +204,14 @@ class Sinkhorn:
                 w_y = w_y[: self.n_max]
                 w_y = w_y / w_y.sum()
         on_tpu = jax.default_backend() == "tpu"
-        if self.backend == "pallas" or (self.backend == "auto" and on_tpu):
-            try:
-                return self.compute(x, y, w_x=w_x, w_y=w_y, use_pallas=True)
-            except Exception:
-                if self.backend == "pallas":
-                    raise
-                # auto: a kernel-compilation failure must not take eval
-                # down — but leave a trace (this also catches genuine input
-                # errors, which the fallback path will re-raise on)
-                logging.warning("Pallas Sinkhorn failed; falling back",
-                                exc_info=True)
+        # 'auto' no longer picks the Pallas tier on TPU: the round-5
+        # uncontended measurement (docs/PERF.md §2, scripts/sinkhorn_bench)
+        # has the XLA tier faster at every size and tile config — the
+        # kernel stays opt-in/experimental via backend='pallas'.
+        if self.backend == "pallas":
+            return self.compute(x, y, w_x=w_x, w_y=w_y, use_pallas=True)
+        if self.backend == "auto" and on_tpu:
+            return self.compute(x, y, w_x=w_x, w_y=w_y)
         if self.backend in ("native", "auto"):
             val = self.compute_native(x, y, w_x=w_x, w_y=w_y)
             if val is not None:
