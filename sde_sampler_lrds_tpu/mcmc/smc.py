@@ -14,6 +14,7 @@ Re-design of sde_sampler/additions/ebm_mle.py:11-398:
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -332,7 +333,7 @@ def re_sampler(
     pair_arr = jnp.stack([
         _pad_pairs(pairs[0], n_pairs), _pad_pairs(pairs[1], n_pairs)], axis=0)
 
-    def body(carry, inp):
+    def body(carry, inp, collect: bool = True):
         x, lp, g, ss, k = carry
         step_id = inp
         k, k_swap, k_local = jax.random.split(k, 3)
@@ -372,13 +373,19 @@ def re_sampler(
 
         (x, lp, g, ss), acc = jax.lax.cond(do_swap, swap_branch, local_branch,
                                            (x, lp, g, ss))
-        return (x, lp, g, ss, k), (x.reshape(L, batch, D), acc)
+        # warmup must not emit the population: a per-step (L, batch, D)
+        # scan output over n_warmup steps materializes
+        # n_warmup·L·batch·D·4 bytes of discarded state (34 GB at the
+        # competing protocol's 4096×128×1024×16 — a real-TPU HBM OOM)
+        out = (x.reshape(L, batch, D), acc) if collect else acc
+        return (x, lp, g, ss, k), out
 
     steps = jnp.arange(start_step, start_step + n_warmup_mcmc_steps + n_mcmc_steps)
     carry = (x, lp, g, step_sizes, key)
     # warmup phase (no sample collection)
     if n_warmup_mcmc_steps > 0:
-        carry, _ = jax.lax.scan(body, carry, steps[:n_warmup_mcmc_steps])
+        carry, _ = jax.lax.scan(functools.partial(body, collect=False),
+                                carry, steps[:n_warmup_mcmc_steps])
     carry, (samples, accs) = jax.lax.scan(body, carry, steps[n_warmup_mcmc_steps:])
     x, lp, g, ss, _ = carry
     samples = jnp.swapaxes(samples, 0, 1)  # (L, n_mcmc, B, D)
