@@ -48,6 +48,11 @@ for s in "${stages[@]}"; do
       run_stage compete_re2m 2400 python experiments/sample_two_modes_competing.py \
         --solver_type re --dim_range 16 --results_path experiments/results
       ;;
+    re2m)
+      # standalone RE row re-run (warmup-scan OOM fix, mcmc/smc.py)
+      run_stage compete_re2m 2400 python experiments/sample_two_modes_competing.py \
+        --solver_type re --dim_range 16 --results_path experiments/results
+      ;;
     compete_more)
       run_stage compete_smc2m 2400 python experiments/sample_two_modes_competing.py \
         --solver_type smc --dim_range 16 --results_path experiments/results
