@@ -78,6 +78,9 @@ for s in "${stages[@]}"; do
       run_stage profile_fused 2400 python scripts/profile_fused.py
       run_stage sinkhorn 2400 python scripts/sinkhorn_bench.py --tile_sweep
       ;;
+    profile)
+      # profile-only re-run (pipelined-dispatch timing fix)
+      run_stage profile_fused 2400 python scripts/profile_fused.py ;;
     bench)
       run_stage bench 3600 python bench.py ;;
     *) echo "unknown stage $s" ;;
